@@ -1,0 +1,86 @@
+"""Golden-value parity tests: JAX geometry kernels vs the reference torch ops."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sigmarl_tpu.core import geometry as G
+
+
+def test_perpendicular_distances(golden):
+    g = golden("geometry")
+    d, idx = G.perpendicular_distances(
+        jnp.asarray(g["pd_pts"]), jnp.asarray(g["pd_poly"]), jnp.asarray(g["pd_n"])
+    )
+    np.testing.assert_allclose(np.asarray(d), g["pd_d"], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), g["pd_i"])
+
+
+def test_short_term_reference_path(golden):
+    g = golden("geometry")
+    path, idx = G.short_term_reference_path(
+        jnp.asarray(g["pd_poly"]),
+        jnp.asarray(g["pd_i"]),
+        3,
+        jnp.asarray(g["st_loop"]),
+        jnp.asarray(g["pd_n"]),
+        sample_interval=2,
+        n_points_shift=1,
+    )
+    np.testing.assert_array_equal(np.asarray(idx), g["st_idx"])
+    np.testing.assert_allclose(np.asarray(path), g["st_path"], atol=1e-6)
+
+
+def test_rectangle_vertices(golden):
+    g = golden("geometry")
+    verts = G.rectangle_vertices(
+        jnp.asarray(g["rv_center"]), jnp.asarray(g["rv_yaw"][:, 0]), 0.107, 0.22, True
+    )
+    np.testing.assert_allclose(np.asarray(verts), g["rv_verts"], atol=1e-5)
+
+
+def test_c2c_distances(golden):
+    g = golden("geometry")
+    diag = float(np.sqrt(4.5**2 + 4.0**2))
+    d = G.c2c_distances(jnp.asarray(g["c2c_centers"]), set_diagonal_to=diag)
+    np.testing.assert_allclose(np.asarray(d), g["c2c_d"], atol=1e-5)
+
+
+def test_mtv_distances(golden):
+    g = golden("geometry")
+    diag = float(np.sqrt(4.5**2 + 4.0**2))
+    d = G.mtv_distances(jnp.asarray(g["mtv_verts"]), set_diagonal_to=diag)
+    np.testing.assert_allclose(np.asarray(d), g["mtv_d"], atol=1e-5)
+
+
+def test_interx(golden):
+    g = golden("geometry")
+    hit = G.interx(jnp.asarray(g["mtv_verts"][:, 0]), jnp.asarray(g["ix_L2"]))
+    np.testing.assert_array_equal(np.asarray(hit), g["ix_hit"])
+    hit_pair = G.interx(jnp.asarray(g["mtv_verts"][:, 0]), jnp.asarray(g["mtv_verts"][:, 1]))
+    np.testing.assert_array_equal(np.asarray(hit_pair), g["ix_hit_pair"])
+
+
+def test_interx_padding_safe():
+    # Padded polylines (repeated end point) must not create phantom hits.
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=np.float32)
+    far = np.array([[5, 5], [6, 5], [6, 6]], dtype=np.float32)
+    far_padded = np.concatenate([far, np.repeat(far[-1:], 7, axis=0)], axis=0)
+    assert not bool(G.interx(jnp.asarray(sq[None]), jnp.asarray(far_padded[None]))[0])
+    cross = np.array([[0.5, -1], [0.5, 2]], dtype=np.float32)
+    cross_padded = np.concatenate([cross, np.repeat(cross[-1:], 5, axis=0)], axis=0)
+    assert bool(G.interx(jnp.asarray(sq[None]), jnp.asarray(cross_padded[None]))[0])
+
+
+def test_global_to_local(golden):
+    g = golden("geometry")
+    rel = G.global_to_local(
+        jnp.asarray(g["tf_pos_i"]), jnp.asarray(g["tf_pos_j"]), jnp.asarray(g["tf_rot_i"][:, 0])
+    )
+    np.testing.assert_allclose(np.asarray(rel), g["tf_rel"], atol=1e-5)
+
+
+def test_angle_wrap():
+    a = jnp.asarray(np.linspace(-10, 10, 101, dtype=np.float32))
+    w = np.asarray(G.angle_eliminate_two_pi(a))
+    assert (w <= np.pi + 1e-6).all() and (w >= -np.pi - 1e-6).all()
+    np.testing.assert_allclose(np.sin(w), np.sin(np.asarray(a)), atol=1e-5)
