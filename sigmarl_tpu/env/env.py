@@ -1,0 +1,218 @@
+"""RoadTrafficEnv — the vectorized road-traffic MARL environment.
+
+The TPU-native equivalent of the reference's VMAS scenario + world stack
+(`scenarios/road_traffic.py`, `helper_training.py:791-861`): a pure,
+jittable `(state, actions, key) -> (state', obs, reward, done, info)` step
+over struct-of-arrays state `[B, N, ...]`, with auto-reset folded into the
+step as masked ops. All shapes are static; the whole step compiles to one
+XLA program, and the batch axis can be sharded over a device mesh.
+
+Step pipeline (mirrors the reference's VMAS callback order —
+reward-before-observation, short-term path refreshed after rewarding):
+
+1. dynamics (`command_step`) from (speed, steering) targets
+2. `update_geometry`: vertices, distances, collisions
+3. rewards (uses the previous step's recorded pose + short-term window)
+4. state-buffer push, short-term path refresh
+5. done logic (+ entry/exit single-agent recycling, testing-mode
+   single-agent resets), masked auto-reset
+6. observation of the post-reset state
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigmarl_tpu.config import Parameters
+from sigmarl_tpu.core.dynamics import BicycleParams, command_step
+from sigmarl_tpu.env.map_tables import MapTables, build_map_tables
+from sigmarl_tpu.env.observations import observe
+from sigmarl_tpu.env.reset import apply_reset, initial_state
+from sigmarl_tpu.env.rewards import compute_rewards
+from sigmarl_tpu.env.structs import EnvConfig, WorldState, replace_state
+from sigmarl_tpu.env.updates import (
+    latest_state_record,
+    push_state_buffer,
+    update_geometry,
+    update_short_term_paths,
+)
+from sigmarl_tpu.maps.manager import load_map
+
+Array = jax.Array
+
+
+class RoadTrafficEnv:
+    """Functional environment facade.
+
+    Holds the static config and device map tables; `reset` and `step` are
+    pure functions of (state, key) suitable for `jit`/`scan`/`shard_map`.
+    """
+
+    def __init__(self, cfg: EnvConfig, tables: MapTables):
+        self.cfg = cfg
+        self.tables = tables
+        self.bicycle = BicycleParams()
+        S = cfg.n_points_short_term
+        w = np.linspace(1.0, 0.2, S, dtype=np.float32)
+        self.weighting_ref = jnp.asarray(w / w.sum())
+
+    # ------------------------------------------------------------------ API
+    @property
+    def obs_dim(self) -> int:
+        return self.cfg.obs_dim
+
+    @property
+    def n_agents(self) -> int:
+        return self.cfg.n_agents
+
+    @property
+    def batch_dim(self) -> int:
+        return self.cfg.batch_dim
+
+    @property
+    def action_limits(self) -> Array:
+        """Per-dimension action bounds [2]: (max_speed, max_steering)."""
+        return jnp.asarray([self.cfg.max_speed, self.cfg.max_steering])
+
+    def reset(self, key: Array) -> Tuple[WorldState, Array]:
+        """Fresh episode state + initial observation."""
+        k_state, k_obs = jax.random.split(key)
+        state = initial_state(self.cfg, self.tables, k_state)
+        obs = observe(self.cfg, self.tables, state, k_obs)
+        return state, obs
+
+    def step(
+        self, state: WorldState, actions: Array, key: Array
+    ) -> Tuple[WorldState, Array, Array, Array, Dict[str, Array]]:
+        """Advance one control period.
+
+        Args:
+            actions: [B, N, 2] (speed target, steering target) — the
+                reference's control interface.
+
+        Returns:
+            (state', obs [B,N,obs_dim], reward [B,N], done [B], info).
+        """
+        cfg, tables = self.cfg, self.tables
+        k_reset, k_obs = jax.random.split(key)
+
+        prev = latest_state_record(state)  # [B, N, 8]
+        prev_pos = prev[..., 0:2]
+        prev_short_term = state.short_term
+
+        # 1. dynamics
+        pos, rot, speed, steering, sideslip, vel = command_step(
+            self.bicycle, state.pos, state.rot, state.speed, state.steering,
+            actions, cfg.dt,
+        )
+        state = replace_state(
+            state,
+            pos=pos, rot=rot, speed=speed, steering=steering,
+            sideslip=sideslip, vel=vel,
+            step=state.step + 1,
+            nominal_action=actions if not cfg.is_using_cbf else state.nominal_action,
+            applied_action=actions,
+        )
+
+        # 2. geometry / collisions
+        state = update_geometry(cfg, tables, state)
+
+        # 3. rewards
+        reward, rew_info = compute_rewards(
+            cfg, state, prev_pos, prev_short_term, self.weighting_ref
+        )
+
+        # 4. record + refresh windows
+        state = push_state_buffer(state)
+        state = update_short_term_paths(cfg, tables, state)
+
+        # 5. done + resets
+        done, reset_mask = self._done_and_reset_mask(state)
+        info = dict(rew_info)
+        info.update(
+            pos=state.pos,
+            rot=state.rot,
+            vel=state.vel,
+            distance_ref=state.d_ref,
+            distance_left_b=state.d_left.min(-1),
+            distance_right_b=state.d_right.min(-1),
+            is_collision_with_agents=state.coll_agents.any(-1),
+            is_collision_with_lanelets=state.coll_lanelets,
+            is_reach_goal=state.coll_exit,
+            path_id=state.path_id,
+            nominal_action=state.nominal_action,
+            applied_action=state.applied_action,
+            terminal_step=state.step,
+        )
+
+        any_reset = reset_mask.any()
+        state = jax.lax.cond(
+            any_reset,
+            lambda s: apply_reset(cfg, tables, s, reset_mask, k_reset),
+            lambda s: s,
+            state,
+        )
+
+        # 6. observation of the (possibly reset) state
+        obs = observe(cfg, tables, state, k_obs)
+        return state, obs, reward, done, info
+
+    # ------------------------------------------------------------- internals
+    def _done_and_reset_mask(self, state: WorldState) -> Tuple[Array, Array]:
+        """Compute the per-env done flag and the agent reset mask
+        (reference `done()`, `road_traffic.py:1368-1487`)."""
+        cfg = self.cfg
+        B, N = cfg.batch_dim, cfg.n_agents
+
+        if cfg.reset_agent_fixed_duration > 0:
+            t = state.step.astype(jnp.float32) * cfg.dt
+            fixed = (jnp.mod(t, float(cfg.reset_agent_fixed_duration)) == 0) & (t != 0)
+        else:
+            fixed = jnp.zeros((B,), bool)
+
+        coll_ag = state.coll_agents.reshape(B, -1).any(-1)
+        coll_ll = state.coll_lanelets.any(-1)
+        max_steps = state.step == (cfg.max_steps - 1)
+
+        if cfg.is_testing_mode:
+            done = max_steps | fixed
+            # Reset individual colliding/recycling agents in non-done envs.
+            agents_reset = (
+                state.coll_agents.any(-1)
+                | state.coll_lanelets
+                | state.coll_entry
+                | state.coll_exit
+            )
+            reset_mask = (agents_reset & ~done[:, None]) | done[:, None]
+        else:
+            done = max_steps | coll_ag | coll_ll | fixed
+            if cfg.scenario_type != "cpm_entire":
+                # Recycle agents that crossed their entry or exit segment
+                # (non-loop paths) without ending the episode.
+                agents_recycle = state.coll_entry | state.coll_exit
+                reset_mask = (agents_recycle & ~done[:, None]) | done[:, None]
+            else:
+                reset_mask = jnp.broadcast_to(done[:, None], (B, N))
+        return done, reset_mask
+
+
+def make_env(parameters: Parameters) -> RoadTrafficEnv:
+    """Build an environment from run `Parameters` (map load + table build)."""
+    import dataclasses
+
+    cfg = EnvConfig.from_parameters(parameters)
+    map_data = load_map(parameters.scenario_type, lane_width=parameters.lane_width)
+    cfg = dataclasses.replace(
+        cfg, has_lanelet_neighbors=len(map_data.neighboring_lanelets_idx) > 0
+    )
+    tables = build_map_tables(
+        map_data,
+        parameters.scenario_type,
+        cfg.n_points_short_term,
+        cfg.sample_interval_ref_path,
+    )
+    return RoadTrafficEnv(cfg, tables)

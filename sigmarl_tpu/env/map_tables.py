@@ -1,0 +1,199 @@
+"""Device-side map tables: every reference path padded/stacked so that
+per-agent path (re)assignment is a single gather.
+
+This replaces the reference's per-agent Python copy loops at reset
+(`world_state_rt.py:279-420` `_extend_map_related_ref_path` /
+`_reset_agent_related_ref_path`): instead of copying polylines into
+per-agent buffers on every reset, we precompute — once, on host — the
+exact padded "long term" arrays the reference materializes per agent
+(center line + short-term extension along the last segment + end-point
+padding), stack them over all candidate paths, and on device index them
+with the agent's `path_id`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigmarl_tpu.maps.data import MapData, RefPath
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MapTables:
+    """Stacked, padded per-path map arrays (pytree of device arrays).
+
+    K = number of candidate paths; P = padded long-term length;
+    PB = padded boundary length; L = max lanelets per path.
+    """
+
+    # Long-term reference path, already extended by n_short*interval points
+    # along the final direction and padded by repeating the final point
+    # (reference `world_state_rt.py:279-311` + `:313-345`).
+    long_term: Array  # [K, P, 2]
+    long_term_vec_normalized: Array  # [K, P, 2]
+    n_points_long_term: Array  # [K] int32 (number of raw center-line points)
+    center_line_yaw: Array  # [K, P] per-point segment yaw (padded w/ last)
+    left_boundary: Array  # [K, PB, 2] shared left boundary, end-padded
+    right_boundary: Array  # [K, PB, 2]
+    n_points_left_b: Array  # [K] int32
+    n_points_right_b: Array  # [K] int32
+    left_boundary_pseudo_vec: Array  # [K, PB, 2] pseudo tangent vectors
+    right_boundary_pseudo_vec: Array  # [K, PB, 2]
+    entry: Array  # [K, 2, 2] entry segment (first boundary points)
+    exit: Array  # [K, 2, 2] exit segment (last boundary points)
+    is_loop: Array  # [K] bool
+    # Scenario-group bookkeeping: group id per path (0=all, 1=intersection,
+    # 2=merge-in, 3=merge-out) and per-group path-selection masks.
+    group_id: Array  # [K] int32
+    group_mask: Array  # [4, K] bool — valid paths per group id
+    # Lanelet-ID data for `current_lanelet_id` / info parity.
+    ref_lanelet_ids: Array  # [K, L] int32 (0-padded)
+    n_ref_lanelet_ids: Array  # [K] int32
+    ref_lanelet_segment_points: Array  # [K, L+1, 2]
+    # All-lanelet center lines (padded) for bird-view lanelet masking.
+    lanelet_centers: Array  # [n_lanelets, Lc, 2]
+    n_lanelet_center_points: Array  # [n_lanelets] int32
+    neighboring_lanelets: Array  # [n_lanelets, n_lanelets] bool
+
+
+def _pad_polyline(p: np.ndarray, length: int) -> np.ndarray:
+    if p.shape[0] >= length:
+        return p[:length]
+    pad = np.repeat(p[-1:], length - p.shape[0], axis=0)
+    return np.concatenate([p, pad], axis=0)
+
+
+def build_map_tables(
+    map_data: MapData,
+    scenario_type: str,
+    n_points_short_term: int,
+    sample_interval: int,
+) -> MapTables:
+    """Build the stacked path tables for a scenario.
+
+    For "cpm_mixed", candidate paths are the intersection + merge-in +
+    merge-out families (group ids 1/2/3, reference
+    `world_state_rt_sim.py:313-358`); otherwise all reference paths
+    (group id 0).
+    """
+    if scenario_type == "cpm_mixed":
+        fams = [
+            (1, map_data.reference_paths_intersection),
+            (2, map_data.reference_paths_merge_in),
+            (3, map_data.reference_paths_merge_out),
+        ]
+    else:
+        fams = [(0, map_data.reference_paths)]
+
+    paths: List[RefPath] = []
+    group_ids: List[int] = []
+    for gid, fam in fams:
+        paths.extend(fam)
+        group_ids.extend([gid] * len(fam))
+
+    n_ext = n_points_short_term * sample_interval
+    max_center = max(p.center_line.shape[0] for p in paths)
+    P = max_center + n_ext + 2  # reference `road_traffic.py:504-530`
+    PB = max(
+        max(p.left_boundary_shared.shape[0], p.right_boundary_shared.shape[0])
+        for p in paths
+    )
+    L = max(len(p.lanelet_ids) for p in paths)
+
+    K = len(paths)
+    long_term = np.zeros((K, P, 2), np.float32)
+    long_vec = np.zeros((K, P, 2), np.float32)
+    yaw = np.zeros((K, P), np.float32)
+    n_long = np.zeros(K, np.int32)
+    lb = np.zeros((K, PB, 2), np.float32)
+    rb = np.zeros((K, PB, 2), np.float32)
+    lb_pv = np.zeros((K, PB, 2), np.float32)
+    rb_pv = np.zeros((K, PB, 2), np.float32)
+    n_lb = np.zeros(K, np.int32)
+    n_rb = np.zeros(K, np.int32)
+    entry = np.zeros((K, 2, 2), np.float32)
+    exit_ = np.zeros((K, 2, 2), np.float32)
+    is_loop = np.zeros(K, bool)
+    lane_ids = np.zeros((K, L), np.int32)
+    n_lane_ids = np.zeros(K, np.int32)
+    seg_pts = np.zeros((K, L + 1, 2), np.float32)
+
+    for k, p in enumerate(paths):
+        c = p.center_line
+        n = c.shape[0]
+        n_long[k] = n
+        # Extension: n_ext points continuing along the last segment, then the
+        # final extended point repeated (reference `world_state_rt.py:288-345`).
+        direction = c[-1] - c[-2]
+        ext = c[-1] + np.arange(1, n_ext + 1, dtype=np.float32)[:, None] * direction
+        full = np.concatenate([c, ext], axis=0)
+        long_term[k] = _pad_polyline(full, P)
+        # Normalized segment vectors: raw ones then the last repeated
+        # (reference `world_state_rt.py:351-364`).
+        v = p.center_line_vec_normalized
+        long_vec[k] = _pad_polyline(np.concatenate([v, np.repeat(v[-1:], n_ext, 0)], 0), P)
+        yaw[k] = _pad_polyline(p.center_line_yaw[:, None], P)[:, 0]
+        lb[k] = _pad_polyline(p.left_boundary_shared, PB)
+        rb[k] = _pad_polyline(p.right_boundary_shared, PB)
+        lb_pv[k] = _pad_polyline(p.left_boundary_shared_pseudo_vector, PB)
+        rb_pv[k] = _pad_polyline(p.right_boundary_shared_pseudo_vector, PB)
+        n_lb[k] = p.left_boundary_shared.shape[0]
+        n_rb[k] = p.right_boundary_shared.shape[0]
+        entry[k, 0] = p.left_boundary_shared[0]
+        entry[k, 1] = p.right_boundary_shared[0]
+        exit_[k, 0] = p.left_boundary_shared[-1]
+        exit_[k, 1] = p.right_boundary_shared[-1]
+        is_loop[k] = p.is_loop
+        ids = p.lanelet_ids
+        lane_ids[k, : len(ids)] = ids
+        n_lane_ids[k] = len(ids)
+        sp = map_data.ref_lanelet_segment_points(ids)
+        seg_pts[k, : sp.shape[0]] = sp
+        seg_pts[k, sp.shape[0]:] = sp[-1]
+
+    gid = np.asarray(group_ids, np.int32)
+    group_mask = np.stack([gid == g for g in range(4)], axis=0)
+
+    n_lanelets = len(map_data.lanelets)
+    Lc = max(l.center_line.shape[0] for l in map_data.lanelets)
+    lanelet_centers = np.stack(
+        [_pad_polyline(l.center_line, Lc) for l in map_data.lanelets]
+    )
+    n_lc = np.asarray([l.center_line.shape[0] for l in map_data.lanelets], np.int32)
+    neigh = np.zeros((n_lanelets, n_lanelets), bool)
+    for i, nb in enumerate(map_data.neighboring_lanelets_idx):
+        for j in nb:
+            neigh[i, j] = True
+
+    as_j = jnp.asarray
+    return MapTables(
+        long_term=as_j(long_term),
+        long_term_vec_normalized=as_j(long_vec),
+        n_points_long_term=as_j(n_long),
+        center_line_yaw=as_j(yaw),
+        left_boundary=as_j(lb),
+        right_boundary=as_j(rb),
+        n_points_left_b=as_j(n_lb),
+        n_points_right_b=as_j(n_rb),
+        left_boundary_pseudo_vec=as_j(lb_pv),
+        right_boundary_pseudo_vec=as_j(rb_pv),
+        entry=as_j(entry),
+        exit=as_j(exit_),
+        is_loop=as_j(is_loop),
+        group_id=as_j(gid),
+        group_mask=as_j(group_mask),
+        ref_lanelet_ids=as_j(lane_ids),
+        n_ref_lanelet_ids=as_j(n_lane_ids),
+        ref_lanelet_segment_points=as_j(seg_pts),
+        lanelet_centers=as_j(lanelet_centers),
+        n_lanelet_center_points=as_j(n_lc),
+        neighboring_lanelets=as_j(neigh),
+    )

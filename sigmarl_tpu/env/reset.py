@@ -1,0 +1,225 @@
+"""Vectorized, fixed-shape reset / spawn logic.
+
+The reference spawns agents with an unbounded rejection-sampling while-loop
+per agent per env (`world_state_rt_sim.py:215-311`). On TPU, data-dependent
+trip counts don't compile, so we draw a fixed budget of `max_spawn_tries`
+candidates per agent at once and select the first feasible one with masked
+ops — distributionally equivalent up to the (vanishingly rare) event of
+all candidates being infeasible, where the last candidate is used (the
+reference would keep looping and merely print a warning after 20 tries).
+
+Sequencing over agents (agent i's feasibility depends on agents < i) is a
+`lax.scan` over the agent axis, vectorized over envs.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sigmarl_tpu.env.map_tables import MapTables
+from sigmarl_tpu.env.structs import EnvConfig, WorldState, replace_state, zero_state
+from sigmarl_tpu.env.updates import (
+    push_state_buffer,
+    update_geometry,
+    update_short_term_paths,
+)
+
+Array = jax.Array
+
+
+def _sample_scenario_ids(cfg: EnvConfig, key: Array, B: int) -> Array:
+    """Per-env scenario-group id: {1,2,3} for cpm_mixed, else 0
+    (reference `world_state_rt_sim.py:313-358`)."""
+    if cfg.scenario_type != "cpm_mixed":
+        return jnp.zeros((B,), jnp.int32)
+    probs = jnp.asarray(cfg.cpm_scenario_probabilities, jnp.float32)
+    logits = jnp.log(jnp.maximum(probs, 1e-30))
+    return (jax.random.categorical(key, logits, shape=(B,)) + 1).astype(jnp.int32)
+
+
+def _sample_candidate_paths(
+    cfg: EnvConfig, tables: MapTables, key: Array, scenario_id: Array, shape: tuple
+) -> Array:
+    """Uniformly sample candidate path ids among the scenario group's paths."""
+    mask = tables.group_mask[scenario_id]  # [..., K]
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+    # Broadcast logits over the candidate axes.
+    logits = jnp.broadcast_to(logits[..., None, :], shape + (tables.group_mask.shape[-1],))
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def _candidate_point_ids(
+    cfg: EnvConfig, key: Array, n_points: Array, tries: int
+) -> Array:
+    """Spawn-point index per candidate.
+
+    Training: uniform in [3, n_points//2) (reference `:254-265`).
+    Testing: a window growing with the retry count, capped at n_points//2.
+    """
+    u = jax.random.uniform(key, n_points.shape)
+    start = 3
+    if cfg.is_testing_mode:
+        k = jnp.arange(tries, dtype=jnp.int32)
+        shape_k = (1,) * (n_points.ndim - 1) + (tries,)
+        grow = 3 + ((k + 1) * (k + 2)) // 2
+        end = jnp.minimum(jnp.broadcast_to(grow.reshape(shape_k), n_points.shape), n_points // 2)
+    else:
+        end = n_points // 2
+    end = jnp.maximum(end, start + 1)
+    return (start + (u * (end - start)).astype(jnp.int32)).astype(jnp.int32)
+
+
+def spawn_positions(
+    cfg: EnvConfig,
+    tables: MapTables,
+    key: Array,
+    scenario_id: Array,
+    prev_pos: Array,
+    reset_mask: Array,
+) -> Tuple[Array, Array, Array, Array]:
+    """Sample feasible spawn poses for the masked agents of each env.
+
+    Args:
+        scenario_id: [B] group id per env.
+        prev_pos: [B, N, 2] current positions (non-reset agents keep these
+            and constrain the feasibility of reset agents).
+        reset_mask: [B, N] bool — which agents to (re)spawn.
+
+    Returns:
+        (pos [B,N,2], rot [B,N], path_id [B,N], point_id [B,N]) — entries of
+        non-reset agents are passed through (`prev_pos`; rot/path/point are
+        zero there and must be merged by the caller).
+    """
+    B, N = prev_pos.shape[:2]
+    T = cfg.max_spawn_tries
+
+    def per_agent(carry, inputs):
+        placed_pos, placed_mask = carry  # [B, N, 2], [B, N] bool
+        n, k = inputs
+        k_path, k_point, k_sel = jax.random.split(k, 3)
+        cand_path = _sample_candidate_paths(
+            cfg, tables, k_path, scenario_id, (B, T)
+        )  # [B, T]
+        n_pts = tables.n_points_long_term[cand_path]  # [B, T]
+        cand_point = _candidate_point_ids(cfg, k_point, n_pts, T)  # [B, T]
+        cand_pos = tables.long_term[cand_path, cand_point]  # [B, T, 2]
+
+        # Feasibility vs already-placed agents (and, for partial resets, vs
+        # agents that are not being reset at all).
+        others = placed_pos  # [B, N, 2]
+        others_valid = placed_mask  # [B, N]
+        diff = cand_pos[:, :, None, :] - others[:, None, :, :]  # [B, T, N, 2]
+        dist2 = jnp.sum(diff * diff, axis=-1)
+        dist2 = jnp.where(others_valid[:, None, :], dist2, jnp.inf)
+        min_dist2 = dist2.min(axis=-1)  # [B, T]
+        feasible = min_dist2 >= cfg.reset_agent_min_distance**2
+
+        first = jnp.argmax(feasible, axis=-1)  # first True, else 0
+        any_feasible = feasible.any(axis=-1)
+        choice = jnp.where(any_feasible, first, T - 1)  # [B]
+
+        sel = lambda a: jnp.take_along_axis(a, choice[:, None], axis=1)[:, 0]
+        path_n = sel(cand_path)
+        point_n = sel(cand_point)
+        pos_n = jnp.take_along_axis(cand_pos, choice[:, None, None], axis=1)[:, 0]
+        rot_n = tables.center_line_yaw[path_n, point_n]
+
+        do = reset_mask[:, n]  # [B]
+        pos_n = jnp.where(do[:, None], pos_n, prev_pos[:, n])
+        placed_pos = placed_pos.at[:, n].set(pos_n)
+        placed_mask = placed_mask.at[:, n].set(True)
+        return (placed_pos, placed_mask), (pos_n, rot_n, path_n, point_n)
+
+    # Initial "placed" set: agents that are NOT being reset keep their
+    # positions and constrain everyone (partial resets check against all
+    # other agents, `world_state_rt_sim.py:287-294`).
+    init_pos = prev_pos
+    init_mask = ~reset_mask
+    keys = jax.random.split(key, N)
+    (_, _), (pos_seq, rot_seq, path_seq, point_seq) = jax.lax.scan(
+        per_agent, (init_pos, init_mask), (jnp.arange(N), keys)
+    )
+    # scan stacks over agent axis first -> [N, B, ...]; move to [B, N, ...].
+    pos = jnp.moveaxis(pos_seq, 0, 1)
+    rot = jnp.moveaxis(rot_seq, 0, 1)
+    path_id = jnp.moveaxis(path_seq, 0, 1)
+    point_id = jnp.moveaxis(point_seq, 0, 1)
+    return pos, rot, path_id, point_id
+
+
+def apply_reset(
+    cfg: EnvConfig,
+    tables: MapTables,
+    state: WorldState,
+    reset_mask: Array,
+    key: Array,
+) -> WorldState:
+    """(Re)spawn the masked agents and refresh all derived state.
+
+    Covers the reference's `reset_world_at` for full-env resets
+    (`reset_mask[b, :] = True`) and single-agent resets in testing mode /
+    entry-exit recycling (`road_traffic.py:816-923`).
+    """
+    B, N = state.pos.shape[:2]
+    k_scen, k_spawn, k_speed = jax.random.split(key, 3)
+
+    full_env_reset = reset_mask.all(axis=-1)  # [B]
+    new_scenario = _sample_scenario_ids(cfg, k_scen, B)
+    # Full resets draw a fresh scenario group; partial resets keep the env's
+    # current group (`world_state_rt_sim.py:325-343`).
+    scenario_id_env = jnp.where(
+        full_env_reset, new_scenario, state.scenario_id[:, 0]
+    )
+
+    pos, rot, path_id, point_id = spawn_positions(
+        cfg, tables, k_spawn, scenario_id_env, state.pos, reset_mask
+    )
+
+    speed_new = jax.random.uniform(k_speed, (B, N)) * cfg.max_speed
+    vel_new = jnp.stack(
+        [speed_new * jnp.cos(rot), speed_new * jnp.sin(rot)], axis=-1
+    )
+
+    m = reset_mask
+    m2 = m[..., None]
+    state = replace_state(
+        state,
+        pos=jnp.where(m2, pos, state.pos),
+        rot=jnp.where(m, rot, state.rot),
+        speed=jnp.where(m, speed_new, state.speed),
+        steering=jnp.where(m, 0.0, state.steering),
+        sideslip=jnp.where(m, 0.0, state.sideslip),
+        vel=jnp.where(m2, vel_new, state.vel),
+        path_id=jnp.where(m, path_id, state.path_id),
+        point_id=jnp.where(m, point_id, state.point_id),
+        scenario_id=jnp.where(m, scenario_id_env[:, None], state.scenario_id),
+        step=jnp.where(full_env_reset, 0, state.step),
+    )
+
+    # Refresh derived state for all agents (vector-land: same cost as one).
+    state = update_geometry(cfg, tables, state)
+    state = update_short_term_paths(cfg, tables, state, at_reset=True)
+
+    # Envs with any reset clear their collision flags
+    # (`reset_world_at` -> `reset_collisions`, `world_state_rt_sim.py:426-430`).
+    env_any = m.any(axis=-1)
+    state = replace_state(
+        state,
+        coll_agents=jnp.where(env_any[:, None, None], False, state.coll_agents),
+        coll_lanelets=jnp.where(env_any[:, None], False, state.coll_lanelets),
+        coll_entry=jnp.where(env_any[:, None], False, state.coll_entry),
+        coll_exit=jnp.where(env_any[:, None], False, state.coll_exit),
+    )
+    # Record the post-reset state (reference resets + refills the buffer).
+    state = push_state_buffer(state)
+    return state
+
+
+def initial_state(cfg: EnvConfig, tables: MapTables, key: Array) -> WorldState:
+    """Fresh world state with all envs spawned."""
+    state = zero_state(cfg)
+    mask = jnp.ones((cfg.batch_dim, cfg.n_agents), bool)
+    return apply_reset(cfg, tables, state, mask, key)

@@ -1,0 +1,156 @@
+"""Per-step world-state updates: distances, vertices, collisions, paths.
+
+TPU-native consolidation of the reference's per-agent update loops
+(`world_state_rt.py:582-725`, `world_state_rt_sim.py:360-454`): the agent
+axis is folded into the array program, all polyline lookups are gathers
+into the stacked `MapTables`, and every op is fixed-shape.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sigmarl_tpu.core import geometry as G
+from sigmarl_tpu.env.map_tables import MapTables
+from sigmarl_tpu.env.structs import EnvConfig, WorldState, replace_state
+
+Array = jax.Array
+
+
+def update_geometry(cfg: EnvConfig, tables: MapTables, state: WorldState) -> WorldState:
+    """Recompute vertices, boundary/reference distances, mutual distances and
+    collision matrices from the current kinematic state.
+
+    Equivalent to the reference's `update_state_before_rewarding`
+    (`world_state_rt_sim.py:432-448`) for all agents at once. Divergences
+    (documented): vertex-to-boundary distances always use the *current*
+    vertices (the reference's agent-0 pass reads one-step-stale vertices),
+    and entry/exit crossing is masked per-env by the path's loop flag
+    (the reference skips the check for all envs if any env's path loops).
+    """
+    pos, rot = state.pos, state.rot
+    verts = G.rectangle_vertices(pos, rot, cfg.agent_width, cfg.agent_length, True)
+
+    if cfg.distance_type == "c2c":
+        d_agents = G.c2c_distances(pos, set_diagonal_to=cfg.world_semidiag)
+    else:
+        d_agents = G.mtv_distances(verts, set_diagonal_to=cfg.world_semidiag)
+
+    lt = tables.long_term[state.path_id]  # [B, N, P, 2]
+    n_lt = tables.n_points_long_term[state.path_id]
+    lb = tables.left_boundary[state.path_id]  # [B, N, PB, 2]
+    rb = tables.right_boundary[state.path_id]
+    n_lb = tables.n_points_left_b[state.path_id]
+    n_rb = tables.n_points_right_b[state.path_id]
+
+    d_ref, idx_ref = G.perpendicular_distances(pos, lt, n_lt)
+
+    half_w = cfg.agent_width / 2
+    dl0, idx_left = G.perpendicular_distances(pos, lb, n_lb)
+    dr0, idx_right = G.perpendicular_distances(pos, rb, n_rb)
+    # The four corner vertices against each boundary, via a broadcast axis.
+    v4 = verts[..., 0:4, :]  # [B, N, 4, 2]
+    dlv, _ = G.perpendicular_distances(v4, lb[..., None, :, :], n_lb[..., None])
+    drv, _ = G.perpendicular_distances(v4, rb[..., None, :, :], n_rb[..., None])
+    d_left = jnp.concatenate([(dl0 - half_w)[..., None], dlv], axis=-1)  # [B,N,5]
+    d_right = jnp.concatenate([(dr0 - half_w)[..., None], drv], axis=-1)
+    d_boundary = jnp.minimum(d_left.min(-1), d_right.min(-1))
+
+    # Agent-agent collisions.
+    if cfg.distance_type == "c2c":
+        pair_hit = G.interx(verts[:, :, None], verts[:, None, :])  # [B, N, N]
+        eye = jnp.eye(cfg.n_agents, dtype=bool)
+        coll_agents = pair_hit & ~eye
+    else:
+        coll_agents = d_agents <= 0.0
+
+    # Agent-boundary collisions.
+    coll_lanelets = G.interx(verts, lb) | G.interx(verts, rb)
+
+    # Entry/exit segment crossings (meaningful for non-loop paths only).
+    not_loop = ~tables.is_loop[state.path_id]
+    coll_entry = G.interx(verts, tables.entry[state.path_id]) & not_loop
+    coll_exit = G.interx(verts, tables.exit[state.path_id]) & not_loop
+
+    return replace_state(
+        state,
+        vertices=verts,
+        d_agents=d_agents,
+        d_ref=d_ref,
+        idx_ref=idx_ref,
+        idx_left=idx_left,
+        idx_right=idx_right,
+        d_left=d_left,
+        d_right=d_right,
+        d_boundary=d_boundary,
+        coll_agents=coll_agents,
+        coll_lanelets=coll_lanelets,
+        coll_entry=coll_entry,
+        coll_exit=coll_exit,
+    )
+
+
+def update_short_term_paths(
+    cfg: EnvConfig, tables: MapTables, state: WorldState, at_reset: bool = False
+) -> WorldState:
+    """Refresh the short-term reference window (and nearing boundary points
+    when boundary points are observed instead of distances).
+
+    Reference `update_ref_paths_agent_related` (`world_state_rt.py:668-725`);
+    at reset the nearing-boundary windows use shift +1 instead of -2
+    (`world_state_rt.py:512-576`).
+    """
+    lt = tables.long_term[state.path_id]
+    n_lt = tables.n_points_long_term[state.path_id]
+    is_loop = tables.is_loop[state.path_id]
+    short_term, _ = G.short_term_reference_path(
+        lt, state.idx_ref, cfg.n_points_short_term, is_loop, n_lt,
+        sample_interval=cfg.sample_interval_ref_path, n_points_shift=1,
+    )
+    out = {"short_term": short_term}
+    if not cfg.is_observe_distance_to_boundaries:
+        shift = 1 if at_reset else -2
+        lb = tables.left_boundary[state.path_id]
+        rb = tables.right_boundary[state.path_id]
+        nl, _ = G.short_term_reference_path(
+            lb, state.idx_left, cfg.n_points_nearing_boundary, is_loop, n_lt,
+            sample_interval=1, n_points_shift=shift,
+        )
+        nr, _ = G.short_term_reference_path(
+            rb, state.idx_right, cfg.n_points_nearing_boundary, is_loop, n_lt,
+            sample_interval=1, n_points_shift=shift,
+        )
+        out.update(nearing_left=nl, nearing_right=nr)
+    return replace_state(state, **out)
+
+
+def push_state_buffer(state: WorldState) -> WorldState:
+    """Append the current `[pos, rot, vel, scenario, path, point]` record to
+    the circular state buffer (reference `StateBuffer`,
+    `road_traffic.py:1226-1240`)."""
+    rec = jnp.concatenate(
+        [
+            state.pos,
+            state.rot[..., None],
+            state.vel,
+            state.scenario_id[..., None].astype(jnp.float32),
+            state.path_id[..., None].astype(jnp.float32),
+            state.point_id[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # [B, N, 8]
+    n_stored = state.state_buffer.shape[0]
+    buf = jax.lax.dynamic_update_index_in_dim(
+        state.state_buffer, rec, state.sb_pointer % n_stored, axis=0
+    )
+    return replace_state(
+        state, state_buffer=buf, sb_pointer=(state.sb_pointer + 1) % n_stored
+    )
+
+
+def latest_state_record(state: WorldState) -> Array:
+    """The most recent record in the circular buffer. [B, N, 8]."""
+    n_stored = state.state_buffer.shape[0]
+    idx = (state.sb_pointer - 1) % n_stored
+    return jax.lax.dynamic_index_in_dim(state.state_buffer, idx, axis=0, keepdims=False)

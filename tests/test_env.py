@@ -1,0 +1,171 @@
+"""Behavioral tests for the road-traffic environment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sigmarl_tpu.config import Parameters
+from sigmarl_tpu.core.controllers import pure_pursuit_on_short_term
+from sigmarl_tpu.env import make_env
+
+
+def _params(**kw):
+    base = dict(
+        scenario_type="cpm_mixed",
+        n_agents=4,
+        num_vmas_envs=8,
+        dt=0.05,
+        is_use_mtv_distance=False,
+        is_obs_noise=False,
+    )
+    base.update(kw)
+    return Parameters(**base)
+
+
+@pytest.fixture(scope="module")
+def env_and_state():
+    env = make_env(_params())
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    return env, state, obs
+
+
+def test_obs_dim_matches_reference_default(env_and_state):
+    env, state, obs = env_and_state
+    # Default observation design: self 10 + 2 neighbors x 11 = 32
+    # (reference SURVEY §2.1, observation_provider_rt.py).
+    assert env.obs_dim == 32
+    assert obs.shape == (8, 4, 32)
+    assert bool(jnp.isfinite(obs).all())
+
+
+def test_spawn_feasibility(env_and_state):
+    env, state, obs = env_and_state
+    pos = np.asarray(state.pos)
+    d = np.linalg.norm(pos[:, :, None] - pos[:, None, :], axis=-1)
+    d[:, np.eye(4, dtype=bool)] = 1e9
+    assert (d.min((1, 2)) >= env.cfg.reset_agent_min_distance - 1e-6).all()
+    # Spawn rotation should match the path tangent at the spawn point.
+    assert np.isfinite(np.asarray(state.rot)).all()
+
+
+def test_pure_pursuit_progress(env_and_state):
+    """Driving toward the short-term reference path must earn positive
+    progress reward and keep agents inside the lanes for a while."""
+    env, state, obs = env_and_state
+    step = jax.jit(env.step)
+    rewards = []
+    collided = []
+    for i in range(30):
+        acts = pure_pursuit_on_short_term(
+            state.pos, state.rot, state.short_term, 0.4, env.cfg.max_steering
+        )
+        state, obs, rew, done, info = step(state, acts, jax.random.PRNGKey(i))
+        rewards.append(np.asarray(info["rew_progress"]))
+        collided.append(np.asarray(info["is_collision_with_lanelets"]))
+    rewards = np.stack(rewards)
+    assert rewards.mean() > 0.01, f"mean progress reward {rewards.mean()}"
+    # Lane-keeping: the vast majority of agent-steps stay off the boundaries.
+    assert np.stack(collided).mean() < 0.1
+
+
+def test_collision_causes_done_and_reset():
+    """Force two agents into collision: env must flag done and auto-reset."""
+    env = make_env(_params(num_vmas_envs=2))
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    # Teleport agents 0 and 1 of env 0 onto each other (rotated to guarantee
+    # a boundary crossing for interX).
+    pos = state.pos.at[0, 1].set(state.pos[0, 0] + jnp.asarray([0.05, 0.02]))
+    rot = state.rot.at[0, 1].set(state.rot[0, 0] + 0.7)
+    import dataclasses
+
+    state = dataclasses.replace(state, pos=pos, rot=rot)
+    step = jax.jit(env.step)
+    acts = jnp.zeros((2, 4, 2))
+    state2, obs2, rew, done, info = step(state, acts, jax.random.PRNGKey(2))
+    assert bool(done[0])
+    assert bool(info["is_collision_with_agents"][0].any())
+    # Collision penalty is not part of the default "distance" reward method
+    # (collisions end the episode instead) — but after auto-reset the env's
+    # agents must again be feasibly separated.
+    pos_new = np.asarray(state2.pos[0])
+    d = np.linalg.norm(pos_new[:, None] - pos_new[None, :], axis=-1)
+    d[np.eye(4, dtype=bool)] = 1e9
+    assert d.min() >= env.cfg.reset_agent_min_distance - 1e-6
+    # Step counter of the reset env restarts.
+    assert int(state2.step[0]) == 0
+
+
+def test_mtv_distance_mode():
+    env = make_env(_params(is_use_mtv_distance=True, num_vmas_envs=4))
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    step = jax.jit(env.step)
+    acts = jnp.zeros((4, 4, 2)).at[..., 0].set(0.3)
+    for i in range(5):
+        state, obs, rew, done, info = step(state, acts, jax.random.PRNGKey(i))
+    assert bool(jnp.isfinite(obs).all()) and bool(jnp.isfinite(rew).all())
+
+
+def test_cpm_entire_loop_paths():
+    env = make_env(_params(scenario_type="cpm_entire", n_agents=8, num_vmas_envs=2))
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(4))
+    # All CPM-entire reference paths are loops: no entry/exit events ever.
+    assert not bool(state.coll_entry.any())
+    step = jax.jit(env.step)
+    acts = jnp.zeros((2, 8, 2)).at[..., 0].set(0.3)
+    for i in range(10):
+        state, obs, rew, done, info = step(state, acts, jax.random.PRNGKey(i))
+    assert not bool(state.coll_exit.any())
+    assert bool(jnp.isfinite(obs).all())
+
+
+def test_reward_methods_all_run():
+    for method in ["distance", "sparse", "ttc", "distance_sparse", "ttc_sparse"]:
+        env = make_env(_params(rew_method=method, num_vmas_envs=2))
+        state, obs = jax.jit(env.reset)(jax.random.PRNGKey(5))
+        acts = jnp.zeros((2, 4, 2)).at[..., 0].set(0.3)
+        state, obs, rew, done, info = jax.jit(env.step)(
+            state, acts, jax.random.PRNGKey(6)
+        )
+        assert bool(jnp.isfinite(rew).all()), method
+        assert float(jnp.abs(rew).max()) <= 1.0, method
+
+
+def test_obs_ablation_dims():
+    """Observation size responds to each ablation switch like the reference."""
+    combos = [
+        (dict(is_observe_vertices=False), 10 + 2 * 8),
+        (dict(is_observe_distance_to_agents=False), 10 + 2 * 10),
+        (dict(is_observe_ref_path_other_agents=True), 10 + 2 * 17),
+        (dict(is_observe_distance_to_boundaries=False), 28 + 2 * 11),
+        (dict(is_observe_distance_to_center_line=False), 9 + 2 * 11),
+        (dict(is_partial_observation=False), 10 + 4 * 11),
+        (dict(is_using_opponent_modeling=True), 32 + 4),
+        (dict(is_obs_steering=True), 11 + 2 * 12),
+    ]
+    for kw, expected in combos:
+        env = make_env(_params(num_vmas_envs=2, **kw))
+        state, obs = jax.jit(env.reset)(jax.random.PRNGKey(7))
+        assert env.obs_dim == expected, (kw, env.obs_dim, expected)
+        assert obs.shape[-1] == expected, kw
+        assert bool(jnp.isfinite(obs).all()), kw
+
+
+def test_testing_mode_partial_reset():
+    env = make_env(_params(is_testing_mode=True, num_vmas_envs=2))
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(8))
+    pos = state.pos.at[0, 1].set(state.pos[0, 0] + jnp.asarray([0.05, 0.02]))
+    rot = state.rot.at[0, 1].set(state.rot[0, 0] + 0.7)
+    import dataclasses
+
+    state = dataclasses.replace(state, pos=pos, rot=rot)
+    step = jax.jit(env.step)
+    state2, obs2, rew, done, info = step(state, jnp.zeros((2, 4, 2)), jax.random.PRNGKey(9))
+    # Testing mode: collision does NOT end the episode...
+    assert not bool(done[0])
+    # ...but the colliding agents were respawned away from each other.
+    pos_new = np.asarray(state2.pos[0])
+    d01 = np.linalg.norm(pos_new[0] - pos_new[1])
+    assert d01 >= env.cfg.reset_agent_min_distance - 1e-6
+    # Agents 2, 3 were untouched.
+    np.testing.assert_allclose(np.asarray(state2.pos[1]), np.asarray(state2.pos[1]))
