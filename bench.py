@@ -1,0 +1,104 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Round-1 headline: policy-in-the-loop environment throughput on the
+15-agent full CPM map (BASELINE.md config "Full CPM map") with 4096
+batched scenarios on one chip. The BASELINE.json north-star target is
+1e5 CBF-QP-filtered env steps/s/chip; until the CBF-QP layer lands in the
+bench loop, `vs_baseline` reports the ratio of raw policy+env throughput
+against that same 1e5 steps/s bar (an upper bound on the filtered number).
+
+Exactly one XLA program is compiled (the T-step rollout chunk): the warmup
+chunk starts from the all-zero world state, whose guaranteed collision
+triggers the in-graph auto-reset — so no separate reset program is needed
+(remote compiles through the chip tunnel cost minutes each).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_STEPS_PER_S = 1.0e5
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from sigmarl_tpu.config import Parameters
+    from sigmarl_tpu.env import make_env
+    from sigmarl_tpu.env.structs import zero_state
+    from sigmarl_tpu.rl.networks import PolicyNet, tanh_normal_sample
+
+    B, N, T = 4096, 15, 64
+    p = Parameters(
+        scenario_type="cpm_entire",
+        n_agents=N,
+        num_vmas_envs=B,
+        dt=0.1,
+        max_steps=1_000_000,  # no episode-end resets during the bench
+        is_use_mtv_distance=False,
+        is_obs_noise=False,
+    )
+    env = make_env(p)
+    policy = PolicyNet(act_dim=2)
+    key = jax.random.PRNGKey(0)
+    params = policy.init(key, jnp.zeros((1, N, env.obs_dim)))
+    low = -env.action_limits
+    high = env.action_limits
+
+    def rollout_chunk(state, obs, key):
+        def body(carry, k):
+            state, obs = carry
+            k_act, k_env = jax.random.split(k)
+            loc, scale = policy.apply(params, obs)
+            action, _ = tanh_normal_sample(k_act, loc, scale, low, high)
+            state, obs, reward, done, _ = env.step(state, action, k_env)
+            return (state, obs), reward.mean()
+
+        (state, obs), rews = jax.lax.scan(body, (state, obs), jax.random.split(key, T))
+        return state, obs, rews.mean()
+
+    rollout = jax.jit(rollout_chunk, donate_argnums=(0, 1))
+
+    # Warmup chunk from the zero state: compiles the single program and lets
+    # the in-graph auto-reset establish a valid state.
+    state = zero_state(env.cfg)
+    obs = jnp.zeros((B, N, env.obs_dim))
+    t0 = time.perf_counter()
+    state, obs, r = rollout(state, obs, jax.random.PRNGKey(1))
+    jax.block_until_ready(r)
+    compile_s = time.perf_counter() - t0
+
+    n_chunks = 5
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        state, obs, r = rollout(state, obs, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+
+    env_steps = B * T * n_chunks
+    steps_per_s = env_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "policy_env_steps_per_s_15agents_cpm",
+                "value": round(steps_per_s, 1),
+                "unit": "env-steps/s/chip",
+                "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
+                "detail": {
+                    "batch": B,
+                    "n_agents": N,
+                    "compile_s": round(compile_s, 1),
+                    "agent_steps_per_s": round(steps_per_s * N, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

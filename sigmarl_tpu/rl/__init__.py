@@ -1,0 +1,1 @@
+from sigmarl_tpu.rl.mappo_cavs import MAPPOCAVs, mappo_cavs  # noqa: F401

@@ -1,0 +1,336 @@
+"""MAPPO trainer for the road-traffic environment.
+
+TPU-native re-design of the reference trainer (`sigmarl/mappo_cavs.py`):
+the torchrl collector/replay-buffer/loss stack becomes one jitted training
+iteration — a `lax.scan` rollout of `max_steps` over all envs, GAE, and
+`num_epochs x minibatch` PPO updates, all compiled into a single XLA
+program. Checkpointing keeps the reference's reward-keyed retention policy
+(`helper_training.py:886-1026`): a new checkpoint is written only when the
+mean episode reward improves, stale lower-reward files are deleted, and the
+run config rides along as a JSON sidecar.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sigmarl_tpu.config import Parameters
+from sigmarl_tpu.env import RoadTrafficEnv, make_env
+from sigmarl_tpu.env.structs import WorldState
+from sigmarl_tpu.rl import checkpoint as ckpt
+from sigmarl_tpu.rl.networks import (
+    CentralizedCritic,
+    PolicyNet,
+    tanh_normal_mode,
+    tanh_normal_sample,
+)
+from sigmarl_tpu.rl.ppo import PPOConfig, gae, ppo_losses
+
+Array = jax.Array
+
+
+@dataclass
+class DecisionMakingModule:
+    """Policy container (API parity with the reference module of the same name)."""
+
+    net: PolicyNet
+    params: Any
+    low: Array
+    high: Array
+
+    def act(self, obs: Array, key: Array, deterministic: bool = False):
+        loc, scale = self.net.apply(self.params, obs)
+        if deterministic:
+            action = tanh_normal_mode(loc, self.low, self.high)
+            return action, jnp.zeros(loc.shape[:-1])
+        return tanh_normal_sample(key, loc, scale, self.low, self.high)
+
+
+@dataclass
+class OptimizationModule:
+    """Critic + optimizer container (API parity with the reference)."""
+
+    critic: CentralizedCritic
+    critic_params: Any
+    optimizer: optax.GradientTransformation
+    opt_state: Any
+
+
+class TrainState(NamedTuple):
+    policy_params: Any
+    critic_params: Any
+    opt_state: Any
+    env_state: WorldState
+    obs: Array
+    ep_reward_accum: Array  # [B, N] running episodic reward (RewardSum)
+    key: Array
+    iteration: Array  # [] int32
+
+
+class Transition(NamedTuple):
+    obs: Array  # [B, N, obs]
+    action: Array  # [B, N, 2]
+    log_prob: Array  # [B, N]
+    reward: Array  # [B, N]
+    done: Array  # [B]
+    next_obs: Array  # [B, N, obs]
+    ep_reward_at_done: Array  # [B, N] episodic reward recorded at done
+    done_mask: Array  # [B] bool
+
+
+class MAPPOCAVs:
+    """Multi-Agent PPO trainer (reference `mappo_cavs.py` MAPPOCAVs)."""
+
+    def __init__(self, parameters: Parameters, env: Optional[RoadTrafficEnv] = None):
+        self.parameters = parameters
+        self.env = env if env is not None else make_env(parameters)
+        cfg = self.env.cfg
+
+        self.policy_net = PolicyNet(act_dim=2)
+        self.critic_net = CentralizedCritic()
+        self.low = -self.env.action_limits
+        self.high = self.env.action_limits
+
+        key = jax.random.PRNGKey(parameters.random_seed)
+        k_pi, k_v, self._key = jax.random.split(key, 3)
+        dummy = jnp.zeros((1, cfg.n_agents, cfg.obs_dim))
+        self.policy_params = self.policy_net.init(k_pi, dummy)
+        self.critic_params = self.critic_net.init(k_v, dummy)
+
+        self.ppo_cfg = PPOConfig(
+            gamma=parameters.gamma,
+            lmbda=parameters.lmbda,
+            clip_epsilon=parameters.clip_epsilon,
+            entropy_eps=parameters.entropy_eps,
+        )
+
+        frames = parameters.frames_per_batch
+        self.n_minibatches = max(1, frames // parameters.minibatch_size)
+        self.updates_per_iter = parameters.num_epochs * self.n_minibatches
+
+        def lr_schedule(count):
+            it = count // self.updates_per_iter
+            frac = 1.0 - it / parameters.n_iters
+            return parameters.lr_min + (parameters.lr - parameters.lr_min) * frac
+
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(parameters.max_grad_norm),
+            optax.adam(learning_rate=lr_schedule),
+        )
+        both = {"policy": self.policy_params, "critic": self.critic_params}
+        self.opt_state = self.optimizer.init(both)
+
+        self._train_iteration = jax.jit(self._build_train_iteration())
+
+    # --------------------------------------------------------------- rollout
+    def _build_train_iteration(self):
+        env = self.env
+        policy_net, critic_net = self.policy_net, self.critic_net
+        low, high = self.low, self.high
+        p = self.parameters
+        ppo_cfg = self.ppo_cfg
+        T = p.max_steps
+        n_mb = self.n_minibatches
+        optimizer = self.optimizer
+
+        def rollout_step(carry, key):
+            env_state, obs, params, ep_accum = carry
+            k_act, k_env = jax.random.split(key)
+            loc, scale = policy_net.apply(params, obs)
+            action, log_prob = tanh_normal_sample(k_act, loc, scale, low, high)
+            env_state, next_obs, reward, done, _ = env.step(env_state, action, k_env)
+            ep_accum = ep_accum + reward
+            ep_at_done = ep_accum
+            ep_accum = jnp.where(done[:, None], 0.0, ep_accum)
+            tr = Transition(
+                obs, action, log_prob, reward, done, next_obs, ep_at_done, done
+            )
+            return (env_state, next_obs, params, ep_accum), tr
+
+        def train_iteration(state: TrainState):
+            key, k_roll, k_perm, k_ent = jax.random.split(state.key, 4)
+
+            # 1. Collect frames_per_batch = B * T frames.
+            keys = jax.random.split(k_roll, T)
+            (env_state, obs, _, ep_accum), batch = jax.lax.scan(
+                rollout_step,
+                (state.env_state, state.obs, state.policy_params, state.ep_reward_accum),
+                keys,
+            )
+
+            # 2. Values + GAE (no grad).
+            critic_apply = lambda o: critic_net.apply(state.critic_params, o)[..., 0]
+            values = critic_apply(batch.obs)  # [T, B, N]
+            next_values = critic_apply(batch.next_obs)
+            advantages, value_targets = gae(
+                batch.reward, values, next_values, batch.done, ppo_cfg.gamma, ppo_cfg.lmbda
+            )
+
+            # 3. Flatten to env-frames and run epochs of minibatch updates.
+            def flat(x):
+                return x.reshape((-1,) + x.shape[2:])
+
+            data = dict(
+                obs=flat(batch.obs),
+                action=flat(batch.action),
+                log_prob=flat(batch.log_prob),
+                adv=flat(advantages),
+                vt=flat(value_targets),
+            )
+            M = data["obs"].shape[0]
+            mb_size = M // n_mb
+
+            def loss_fn(params, mb, ent_key):
+                loc, scale = policy_net.apply(params["policy"], mb["obs"])
+                v = critic_net.apply(params["critic"], mb["obs"])[..., 0]
+                return ppo_losses(
+                    loc, scale, v, mb["action"], mb["log_prob"], mb["adv"], mb["vt"],
+                    low, high, ppo_cfg, ent_key,
+                )
+
+            def minibatch_update(carry, mb_and_key):
+                params, opt_state = carry
+                mb, ent_key = mb_and_key
+                (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mb, ent_key
+                )
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), stats
+
+            def epoch_update(carry, epoch_key):
+                params, opt_state = carry
+                k_p, k_e = jax.random.split(epoch_key)
+                perm = jax.random.permutation(k_p, M)
+                shuffled = {k: v[perm] for k, v in data.items()}
+                mbs = {
+                    k: v[: mb_size * n_mb].reshape((n_mb, mb_size) + v.shape[1:])
+                    for k, v in shuffled.items()
+                }
+                ent_keys = jax.random.split(k_e, n_mb)
+                (params, opt_state), stats = jax.lax.scan(
+                    minibatch_update, (params, opt_state), (mbs, ent_keys)
+                )
+                return (params, opt_state), jax.tree.map(lambda s: s.mean(), stats)
+
+            params = {"policy": state.policy_params, "critic": state.critic_params}
+            epoch_keys = jax.random.split(k_ent, p.num_epochs)
+            (params, opt_state), stats = jax.lax.scan(
+                epoch_update, (params, state.opt_state), epoch_keys
+            )
+
+            # 4. Metrics: mean episodic reward over done events (RewardSum).
+            done_f = batch.done_mask[..., None].astype(jnp.float32)  # [T, B, 1]
+            n_done = done_f.sum() * env.cfg.n_agents
+            ep_rew_sum = (batch.ep_reward_at_done * done_f).sum()
+            episode_reward_mean = jnp.where(
+                n_done > 0, ep_rew_sum / jnp.maximum(n_done, 1.0), jnp.nan
+            )
+
+            metrics = {
+                "episode_reward_mean": episode_reward_mean,
+                "n_done": done_f.sum(),
+                **jax.tree.map(lambda s: s.mean(), stats),
+            }
+            new_state = TrainState(
+                policy_params=params["policy"],
+                critic_params=params["critic"],
+                opt_state=opt_state,
+                env_state=env_state,
+                obs=obs,
+                ep_reward_accum=ep_accum,
+                key=key,
+                iteration=state.iteration + 1,
+            )
+            return new_state, metrics
+
+        return train_iteration
+
+    # ----------------------------------------------------------------- train
+    def train(self, progress_callback=None):
+        """Run the full training loop.
+
+        Returns (env, decision_making_module, optimization_module,
+        priority_module, cbf_controllers, parameters) for API parity with the
+        reference `mappo_cavs(parameters)` entry (`mappo_cavs.py:635-646`).
+        """
+        p = self.parameters
+        key, k_reset = jax.random.split(self._key)
+        env_state, obs = jax.jit(self.env.reset)(k_reset)
+
+        state = TrainState(
+            policy_params=self.policy_params,
+            critic_params=self.critic_params,
+            opt_state=self.opt_state,
+            env_state=env_state,
+            obs=obs,
+            ep_reward_accum=jnp.zeros((p.num_vmas_envs, p.n_agents)),
+            key=key,
+            iteration=jnp.zeros((), jnp.int32),
+        )
+
+        saver = ckpt.RewardKeyedCheckpointer(p)
+        reward_history = []
+        t_start = time.time()
+        for i in range(p.n_iters):
+            state, metrics = self._train_iteration(state)
+            rew = float(metrics["episode_reward_mean"])
+            rew = round(rew, 2) if np.isfinite(rew) else rew
+            reward_history.append(rew)
+            if p.is_save_intermediate_model:
+                saver.maybe_save(
+                    rew,
+                    {"policy": state.policy_params, "critic": state.critic_params},
+                    reward_history,
+                )
+            if progress_callback:
+                progress_callback(i, metrics)
+
+        saver.save_final(
+            {"policy": state.policy_params, "critic": state.critic_params},
+            reward_history,
+        )
+        self._final_state = state
+        self._reward_history = reward_history
+        self._train_time = time.time() - t_start
+
+        decision_module = DecisionMakingModule(
+            self.policy_net, state.policy_params, self.low, self.high
+        )
+        optimization_module = OptimizationModule(
+            self.critic_net, state.critic_params, self.optimizer, state.opt_state
+        )
+        return (
+            self.env,
+            decision_module,
+            optimization_module,
+            None,  # priority module (XP-MARL) attached by the priority trainer
+            None,  # cbf controllers attached by the safety layer
+            self.parameters,
+        )
+
+
+def mappo_cavs(parameters: Parameters):
+    """Functional entry point mirroring the reference
+    `mappo_cavs(parameters)` (`mappo_cavs.py:635-646`)."""
+    trainer = MAPPOCAVs(parameters)
+    if not parameters.is_continue_train and parameters.is_load_model:
+        # Load-only path: restore the best (or final) checkpoint, no training.
+        env = trainer.env
+        params = ckpt.load_best(parameters)
+        decision_module = DecisionMakingModule(
+            trainer.policy_net, params["policy"], trainer.low, trainer.high
+        )
+        optimization_module = OptimizationModule(
+            trainer.critic_net, params["critic"], trainer.optimizer, trainer.opt_state
+        )
+        return env, decision_module, optimization_module, None, None, parameters
+    return trainer.train()
