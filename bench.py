@@ -1,11 +1,10 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Round-1 headline: policy-in-the-loop environment throughput on the
-15-agent full CPM map (BASELINE.md config "Full CPM map") with 4096
-batched scenarios on one chip. The BASELINE.json north-star target is
-1e5 CBF-QP-filtered env steps/s/chip; until the CBF-QP layer lands in the
-bench loop, `vs_baseline` reports the ratio of raw policy+env throughput
-against that same 1e5 steps/s bar (an upper bound on the filtered number).
+Headline (BASELINE.json north star): CBF-QP-filtered env steps/s/chip on
+the 15-agent full CPM map — the policy forward pass, the batched
+centralized CBF-QP safety filter (constraint assembly + projected-Newton
+solve for all envs), and the environment step, all in one compiled
+program. Target: 1e5 steps/s/chip.
 
 Exactly one XLA program is compiled (the T-step rollout chunk): the warmup
 chunk starts from the all-zero world state, whose guaranteed collision
@@ -32,8 +31,10 @@ def main():
     from sigmarl_tpu.env import make_env
     from sigmarl_tpu.env.structs import zero_state
     from sigmarl_tpu.rl.networks import PolicyNet, tanh_normal_sample
+    from sigmarl_tpu.safety import CBFConfig, CBFSafetyFilter
+    from sigmarl_tpu.safety.wrappers import cbf_filtered_step
 
-    B, N, T = 4096, 15, 64
+    B, N, T = 1024, 15, 32
     p = Parameters(
         scenario_type="cpm_entire",
         n_agents=N,
@@ -42,8 +43,22 @@ def main():
         max_steps=1_000_000,  # no episode-end resets during the bench
         is_use_mtv_distance=False,
         is_obs_noise=False,
+        is_using_cbf_testing=True,
+        is_using_centralized_cbf=True,
     )
     env = make_env(p)
+    cbf = CBFSafetyFilter(
+        CBFConfig(
+            n_agents=N,
+            n_circles=3,
+            dt=0.1,
+            use_windowed_pseudo_distance=True,
+            pd_window=32,
+            newton_iters=10,
+        ),
+        env.cfg,
+        env.tables,
+    )
     policy = PolicyNet(act_dim=2)
     key = jax.random.PRNGKey(0)
     params = policy.init(key, jnp.zeros((1, N, env.obs_dim)))
@@ -56,7 +71,9 @@ def main():
             k_act, k_env = jax.random.split(k)
             loc, scale = policy.apply(params, obs)
             action, _ = tanh_normal_sample(k_act, loc, scale, low, high)
-            state, obs, reward, done, _ = env.step(state, action, k_env)
+            state, obs, reward, done, _ = cbf_filtered_step(
+                env, cbf, state, action, k_env
+            )
             return (state, obs), reward.mean()
 
         (state, obs), rews = jax.lax.scan(body, (state, obs), jax.random.split(key, T))
@@ -85,14 +102,16 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "policy_env_steps_per_s_15agents_cpm",
+                "metric": "cbf_filtered_env_steps_per_s_15agents_cpm",
                 "value": round(steps_per_s, 1),
                 "unit": "env-steps/s/chip",
                 "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
                 "detail": {
                     "batch": B,
                     "n_agents": N,
+                    "n_circles": 3,
                     "compile_s": round(compile_s, 1),
+                    "qp_per_s": round(steps_per_s, 1),
                     "agent_steps_per_s": round(steps_per_s * N, 1),
                 },
             }

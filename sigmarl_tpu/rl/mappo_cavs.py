@@ -94,6 +94,31 @@ class MAPPOCAVs:
         self.env = env if env is not None else make_env(parameters)
         cfg = self.env.cfg
 
+        # CBF-constrained MARL (reference `_setup_cbf_qp_controller:570-605`):
+        # one batched filter replaces the per-env / per-env-x-agent CBFQP
+        # instances. In margins mode (is_solve_qp=False) the filter feeds the
+        # "cbf" reward method; otherwise it filters actions in-graph.
+        self.cbf_filter = None
+        if parameters.is_using_cbf_training or parameters.is_using_cbf_testing:
+            from sigmarl_tpu.safety import CBFConfig, CBFSafetyFilter
+
+            self.cbf_filter = CBFSafetyFilter(
+                CBFConfig(
+                    n_agents=parameters.n_agents,
+                    n_circles=parameters.n_circles_approximate_vehicle,
+                    dt=parameters.dt,
+                    is_solve_qp=parameters.is_solve_qp,
+                    adaptive_lambda_cost=parameters.adaptive_lambda,
+                    nom_controller_type=parameters.nom_controller_type,
+                    h_nom=parameters.h_nom,
+                    is_obs_noise=parameters.is_obs_noise,
+                    obs_noise_level=parameters.obs_noise_level,
+                ),
+                cfg,
+                self.env.tables,
+                decentralized=not parameters.is_using_centralized_cbf,
+            )
+
         self.policy_net = PolicyNet(act_dim=2)
         self.critic_net = CentralizedCritic()
         self.low = -self.env.action_limits
@@ -141,12 +166,26 @@ class MAPPOCAVs:
         n_mb = self.n_minibatches
         optimizer = self.optimizer
 
+        cbf = self.cbf_filter
+        use_cbf_train = p.is_using_cbf_training and cbf is not None
+
+        def env_transition(env_state, action, k_env):
+            if use_cbf_train:
+                from sigmarl_tpu.safety.wrappers import cbf_filtered_step, cbf_margin_step
+
+                if p.is_solve_qp and p.is_apply_cbf_action:
+                    return cbf_filtered_step(env, cbf, env_state, action, k_env)
+                return cbf_margin_step(env, cbf, env_state, action, k_env)
+            return env.step(env_state, action, k_env)
+
         def rollout_step(carry, key):
             env_state, obs, params, ep_accum = carry
             k_act, k_env = jax.random.split(key)
             loc, scale = policy_net.apply(params, obs)
             action, log_prob = tanh_normal_sample(k_act, loc, scale, low, high)
-            env_state, next_obs, reward, done, _ = env.step(env_state, action, k_env)
+            env_state, next_obs, reward, done, _ = env_transition(
+                env_state, action, k_env
+            )
             ep_accum = ep_accum + reward
             ep_at_done = ep_accum
             ep_accum = jnp.where(done[:, None], 0.0, ep_accum)

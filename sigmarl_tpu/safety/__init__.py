@@ -1,0 +1,1 @@
+from sigmarl_tpu.safety.cbf_qp import CBFConfig, CBFSafetyFilter, CBFStepInfo  # noqa: F401

@@ -1,0 +1,522 @@
+"""Batched Truncated-Taylor CBF-QP safety filter.
+
+TPU-native re-design of the reference production filter
+(`sigmarl/cbf_qp.py`, 2804 LoC of per-env scalar Python + cvxpy/OSQP):
+constraint assembly is fully vectorized over `[B, N, C]` (envs x agents x
+circles) and the per-env QP is solved by the batched eliminated-variable
+projected-Newton solver in `qp.py` — thousands of QPs per step in one XLA
+program, no host round-trips.
+
+Per step, per env (semantics of `update_centralized_cbf_qp:1019-1400`):
+- vehicles are over-approximated by C circles (`circles.py`),
+- lane barriers: h = pseudo-distance(circle center) - radius, with gradient
+  (forward differences) and Hessian (central differences) over a 9-point
+  stencil of the pseudo-distance field (`estimate_agent_2_lane_safety_margin`),
+- pairwise barriers: h = |p_i - p_j|^2 - (2r + buffer)^2 per circle pair,
+- both turned into control-affine Truncated-Taylor constraints over the
+  horizon dt_taylor = 2*dt via the closed-form circle-center kinematics
+  (`kinematics.py` == the reference's probing `:2283-2489`),
+- nominal controller: the RL action converted to (accel, steering-rate), or
+  a CLF P-controller on heading/speed with relaxed CLF rows in the QP,
+- adaptive per-constraint class-K gain lambda in [0, 1] (a QP variable),
+- solve: minimize ||u - u_nom||_W^2 + slack/lambda penalties, fall back to
+  the nominal action on non-convergence; write the safe action back as
+  (speed, steering) targets.
+
+Margins-only mode (`is_solve_qp=False`, CBF-informed MARL): skip the solve
+and convert constraint margins at the nominal action into shaping rewards
+(`compute_nominal_cbf_constraint_margins:2562-2760` +
+`compute_cbf_violation_rewards_from_margins:2762-2803`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigmarl_tpu.constants import AGENTS
+from sigmarl_tpu.core.geometry import angle_eliminate_two_pi
+from sigmarl_tpu.env.map_tables import MapTables
+from sigmarl_tpu.env.structs import EnvConfig, WorldState
+from sigmarl_tpu.safety.circles import CircleApproximation, circle_centers_world
+from sigmarl_tpu.safety.kinematics import CenterKinematics, center_kinematics
+from sigmarl_tpu.safety.pseudo_distance import pseudo_distance_to_polyline
+from sigmarl_tpu.safety.qp import ConstraintSet, solve_boxed_penalty_qp
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class CBFConfig:
+    """Static CBF-filter configuration (reference `initialize_params:366-434`)."""
+
+    n_agents: int
+    n_circles: int = 3
+    dt: float = 0.1
+    taylor_order_steps: int = 2  # dt_taylor = r * dt
+    dx: float = 0.02  # stencil step
+    dy: float = 0.02
+    lambda_ttcbf: float = 0.5
+    safety_buffer: float = 0.0
+    is_solve_qp: bool = True
+    adaptive_lambda_cost: bool = False  # parameters.adaptive_lambda
+    nom_controller_type: str = "rl"  # {"rl", "clf"}
+    # CLF gains
+    lam_clf: float = 2.0
+    ref_speed: float = 1.0
+    w_clf_relax: float = 1.0
+    k_clf_heading: float = 1.0
+    k_clf_speed: float = 1.0
+    # Cost weights
+    w_u_acc: float = 100.0  # (10)^2 from nom_weight diag [10, 1]
+    w_u_steer: float = 1.0
+    lane_slack_weight: float = 1e9
+    pair_slack_weight: float = 1e9
+    lambda_weight: float = 1e3
+    h_nom: float = 0.2  # margin normalizer for CBF-informed rewards
+    is_obs_noise: bool = False
+    obs_noise_level: float = 0.0
+    newton_iters: int = 15
+    # Windowed pseudo-distance: scan only `pd_window` boundary segments
+    # around the agent's closest boundary vertex instead of the whole
+    # polyline (exact for windows covering the stencil neighborhood; lane
+    # geometry keeps the true minimizer well inside a ~±0.6 m window).
+    use_windowed_pseudo_distance: bool = False
+    pd_window: int = 32
+
+    @property
+    def dt_taylor(self) -> float:
+        return self.taylor_order_steps * self.dt
+
+    @property
+    def n_pairs(self) -> int:
+        return self.n_agents * (self.n_agents - 1) // 2
+
+
+class CBFStepInfo(NamedTuple):
+    safe_actions: Array  # [B, N, 2] (speed, steering) targets
+    nominal_actions: Array  # [B, N, 2] clamped nominal targets
+    solved: Array  # [B] bool
+    max_violation: Array  # [B] worst remaining constraint penetration
+    rew_near_left_lane: Array  # [B, N]
+    rew_near_right_lane: Array  # [B, N]
+    rew_near_other_agents: Array  # [B, N]
+
+
+# Nine-point stencil (reference `estimate_agent_2_lane_safety_margin:575-600`).
+_STENCIL = np.array(
+    [
+        [0, 0], [1, 0], [0, 1], [-1, 0], [0, -1],
+        [1, 1], [1, -1], [-1, 1], [-1, -1],
+    ],
+    dtype=np.float32,
+)
+
+
+class CBFSafetyFilter:
+    """Batched centralized CBF-QP filter over all envs at once.
+
+    Decentralized filtering (one QP per agent, reference
+    `mappo_cavs.py:598-604`) falls out of the same machinery by masking the
+    pair rows of other agents' controls — see `decentralized` flag.
+    """
+
+    def __init__(
+        self,
+        cfg: CBFConfig,
+        env_cfg: EnvConfig,
+        tables: MapTables,
+        decentralized: bool = False,
+    ):
+        self.cfg = cfg
+        self.env_cfg = env_cfg
+        self.tables = tables
+        self.decentralized = decentralized
+        self.approx = CircleApproximation(
+            AGENTS["length"], AGENTS["width"], cfg.n_circles
+        )
+        self.v_min, self.v_max = AGENTS["min_speed"], AGENTS["max_speed"]
+        self.steer_min, self.steer_max = AGENTS["min_steering"], AGENTS["max_steering"]
+        self.a_min, self.a_max = AGENTS["min_acc"], AGENTS["max_acc"]
+        self.rate_min, self.rate_max = (
+            AGENTS["min_steering_rate"],
+            AGENTS["max_steering_rate"],
+        )
+        self.l_r, self.l_wb = AGENTS["l_r"], AGENTS["l_wb"]
+        # Static scatter maps for assembling the dense [M, 2N] constraint
+        # matrix: row blocks are [lane(2NC) | pair(P*C*C) | clf(2N)].
+        N, C = cfg.n_agents, cfg.n_circles
+        pairs = [(i, j) for i in range(N - 1) for j in range(i + 1, N)]
+        self._pair_i = np.array([p[0] for p in pairs], np.int32)
+        self._pair_j = np.array([p[1] for p in pairs], np.int32)
+        self.M_lane = 2 * N * C
+        self.M_pair = len(pairs) * C * C
+        self.M_clf = 2 * N
+        self.M = self.M_lane + self.M_pair + self.M_clf
+
+    # ------------------------------------------------------------ primitives
+    def rl_action_to_u(self, rl_actions: Array, v: Array, steering: Array):
+        """(speed, steering) targets -> clamped (accel, steering rate)
+        (reference `rl_action_to_u:461-497`; note the asymmetric speed clamp
+        to [min_speed, max_speed], unlike the world step's symmetric one)."""
+        cfg = self.cfg
+        tgt_v = jnp.clip(rl_actions[..., 0], self.v_min, self.v_max)
+        tgt_s = jnp.clip(rl_actions[..., 1], self.steer_min, self.steer_max)
+        u_acc = jnp.clip((tgt_v - v) / cfg.dt, self.a_min, self.a_max)
+        u_rate = jnp.clip((tgt_s - steering) / cfg.dt, self.rate_min, self.rate_max)
+        rl_clamped = jnp.stack([tgt_v, tgt_s], axis=-1)
+        return rl_clamped, jnp.stack([u_acc, u_rate], axis=-1)
+
+    def u_to_rl_action(self, u: Array, v: Array, steering: Array) -> Array:
+        """(accel, steering rate) -> next-step (speed, steering) targets
+        (reference `u_to_rl_action:499-525`)."""
+        cfg = self.cfg
+        v_new = jnp.clip(v + u[..., 0] * cfg.dt, self.v_min, self.v_max)
+        s_new = (steering + u[..., 1] * cfg.dt + jnp.pi) % (2 * jnp.pi) - jnp.pi
+        s_new = jnp.clip(s_new, self.steer_min, self.steer_max)
+        return jnp.stack([v_new, s_new], axis=-1)
+
+    def _lane_terms(self, centers: Array, path_id: Array, idx_left=None, idx_right=None):
+        """Safety margin, gradient, Hessian of the pseudo-distance field at
+        each circle center. centers: [B, N, C, 2]; returns per side
+        (sm [B,N,C], grad [B,N,C,2], hess [B,N,C,2,2])."""
+        cfg = self.cfg
+        B, N, C = centers.shape[:3]
+        offsets = jnp.asarray(_STENCIL) * jnp.asarray([cfg.dx, cfg.dy])
+        q = centers[..., None, :] + offsets  # [B, N, C, 9, 2]
+        q = q.reshape(B, N, C * 9, 2)
+
+        lb = self.tables.left_boundary[path_id]  # [B, N, PB, 2]
+        rb = self.tables.right_boundary[path_id]
+        lpv = self.tables.left_boundary_pseudo_vec[path_id]
+        rpv = self.tables.right_boundary_pseudo_vec[path_id]
+        n_lb = self.tables.n_points_left_b[path_id]
+        n_rb = self.tables.n_points_right_b[path_id]
+
+        if cfg.use_windowed_pseudo_distance and idx_left is not None:
+            from sigmarl_tpu.safety.pseudo_distance import pseudo_distance_windowed
+
+            d_left = pseudo_distance_windowed(
+                q, lb, lpv, idx_left, cfg.pd_window, n_lb
+            ).reshape(B, N, C, 9)
+            d_right = pseudo_distance_windowed(
+                q, rb, rpv, idx_right, cfg.pd_window, n_rb
+            ).reshape(B, N, C, 9)
+        else:
+            d_left = pseudo_distance_to_polyline(q, lb, lpv, n_lb).reshape(B, N, C, 9)
+            d_right = pseudo_distance_to_polyline(q, rb, rpv, n_rb).reshape(B, N, C, 9)
+
+        def grads(d):
+            d0 = d[..., 0]
+            # Forward differences for the gradient, central for the Hessian
+            # (matches the reference exactly, `:621-645`).
+            gx = (d[..., 1] - d0) / cfg.dx
+            gy = (d[..., 2] - d0) / cfg.dy
+            hxx = (d[..., 1] - 2 * d0 + d[..., 3]) / cfg.dx**2
+            hyy = (d[..., 2] - 2 * d0 + d[..., 4]) / cfg.dy**2
+            hxy = (d[..., 5] - d[..., 6] - d[..., 7] + d[..., 8]) / (
+                4 * cfg.dx * cfg.dy
+            )
+            grad = jnp.stack([gx, gy], axis=-1)
+            hess = jnp.stack(
+                [jnp.stack([hxx, hxy], -1), jnp.stack([hxy, hyy], -1)], axis=-2
+            )
+            return d0 - self.approx.radius, grad, hess
+
+        return grads(d_left), grads(d_right)
+
+    def _lane_coeffs(self, kins: CenterKinematics, sm, grad, hess):
+        """Affine TTCBF lane coefficients (reference
+        `ttcbf_lane_affine_coeffs:2337-2398`). Shapes in: sm [B,N,C],
+        grad [B,N,C,2], hess [B,N,C,2,2]. Out: A [B,N,C,2], b0, h [B,N,C]."""
+        dt = self.cfg.dt_taylor
+        gx, gy = grad[..., 0], grad[..., 1]
+        A = 0.5 * dt * dt * (gx[..., None] * kins.a_ddx + gy[..., None] * kins.a_ddy)
+        dot_h = gx * kins.dx + gy * kins.dy
+        vel = jnp.stack([kins.dx, kins.dy], axis=-1)
+        vHv = jnp.einsum("...i,...ij,...j->...", vel, hess, vel)
+        const_dd = gx * kins.c_ddx + gy * kins.c_ddy + vHv
+        b0 = dot_h * dt + 0.5 * dt * dt * const_dd
+        h = sm - self.cfg.safety_buffer
+        return A, b0, h
+
+    def _pair_coeffs(self, centers: Array, kins: CenterKinematics):
+        """Affine TTCBF pairwise coefficients for all (i<j, ci, cj)
+        (reference `ttcbf_pair_affine_coeffs:2400-2489`).
+
+        Returns A_i, A_j [B,P,C,C,2], b0, h [B,P,C,C]."""
+        cfg = self.cfg
+        dt = cfg.dt_taylor
+        pi = centers[:, self._pair_i]  # [B, P, C, 2]
+        pj = centers[:, self._pair_j]
+        delta = pi[:, :, :, None, :] - pj[:, :, None, :, :]  # [B, P, Ci, Cj, 2]
+        ddx, ddy = delta[..., 0], delta[..., 1]
+
+        def sel(x, idx):
+            return x[:, idx]
+
+        vxi = sel(kins.dx, self._pair_i)[:, :, :, None]
+        vyi = sel(kins.dy, self._pair_i)[:, :, :, None]
+        vxj = sel(kins.dx, self._pair_j)[:, :, None, :]
+        vyj = sel(kins.dy, self._pair_j)[:, :, None, :]
+        vrel_x = vxi - vxj
+        vrel_y = vyi - vyj
+
+        aix = sel(kins.a_ddx, self._pair_i)[:, :, :, None, :]
+        aiy = sel(kins.a_ddy, self._pair_i)[:, :, :, None, :]
+        ajx = sel(kins.a_ddx, self._pair_j)[:, :, None, :, :]
+        ajy = sel(kins.a_ddy, self._pair_j)[:, :, None, :, :]
+        cix = sel(kins.c_ddx, self._pair_i)[:, :, :, None]
+        ciy = sel(kins.c_ddy, self._pair_i)[:, :, :, None]
+        cjx = sel(kins.c_ddx, self._pair_j)[:, :, None, :]
+        cjy = sel(kins.c_ddy, self._pair_j)[:, :, None, :]
+
+        d_safe = 2.0 * self.approx.radius + cfg.safety_buffer
+        h = ddx * ddx + ddy * ddy - d_safe * d_safe
+        dh = 2.0 * (ddx * vrel_x + ddy * vrel_y)
+        A_i = 0.5 * dt * dt * 2.0 * (ddx[..., None] * aix + ddy[..., None] * aiy)
+        A_j = 0.5 * dt * dt * -2.0 * (ddx[..., None] * ajx + ddy[..., None] * ajy)
+        const_ddh = 2.0 * (vrel_x**2 + vrel_y**2) + 2.0 * (
+            ddx * (cix - cjx) + ddy * (ciy - cjy)
+        )
+        b0 = dh * dt + 0.5 * dt * dt * const_ddh
+        return A_i, A_j, b0, h
+
+    # -------------------------------------------------------------- assembly
+    def assemble(
+        self, state: WorldState, rl_actions: Array, key: Array | None = None
+    ) -> Tuple[ConstraintSet, Array, Array, Dict[str, Array]]:
+        """Build the batched constraint set and nominal input.
+
+        Returns (constraints over z=[u_0..u_{N-1}] in R^{2N}, u_nom [B,2N],
+        rl_clamped [B,N,2], aux dict with margins info).
+        """
+        cfg = self.cfg
+        B, N = state.pos.shape[:2]
+        C = cfg.n_circles
+        v, steering = state.speed, state.steering
+        psi = state.rot
+
+        rl = rl_actions
+        if cfg.is_obs_noise and key is not None:
+            rl = rl + jax.random.uniform(key, rl.shape) * cfg.obs_noise_level
+
+        if cfg.nom_controller_type == "rl":
+            rl_clamped, u_nom = self.rl_action_to_u(rl, v, steering)
+            e_head = jnp.zeros((B, N))
+            e_speed = jnp.zeros((B, N))
+        else:
+            # CLF nominal controller: P-control on heading/speed toward the
+            # 3rd short-term reference point (`ref[4:6]` in the reference's
+            # flattened short-term path = point index 2).
+            target = state.short_term[:, :, 2, :]
+            desired = jnp.arctan2(
+                target[..., 1] - state.pos[..., 1], target[..., 0] - state.pos[..., 0]
+            )
+            e_head = angle_eliminate_two_pi(desired - psi)
+            e_speed = cfg.ref_speed - v
+            u1 = jnp.clip(cfg.k_clf_speed * e_speed, self.a_min, self.a_max)
+            u2 = jnp.clip(cfg.k_clf_heading * e_head, self.rate_min, self.rate_max)
+            u_nom = jnp.stack([u1, u2], axis=-1)
+            rl_clamped = jnp.stack([v + e_speed, e_head], axis=-1)
+
+        centers = circle_centers_world(self.approx, state.pos, psi)  # [B,N,C,2]
+        kins = center_kinematics(
+            psi, v, steering, jnp.asarray(self.approx.centers_local), self.l_r, self.l_wb
+        )
+
+        (smL, gL, HL), (smR, gR, HR) = self._lane_terms(
+            centers, state.path_id, state.idx_left, state.idx_right
+        )
+        A_L, b0_L, h_L = self._lane_coeffs(kins, smL, gL, HL)
+        A_R, b0_R, h_R = self._lane_coeffs(kins, smR, gR, HR)
+        A_pi, A_pj, b0_p, h_p = self._pair_coeffs(centers, kins)
+
+        d = 2 * N
+        # Lane rows: [B, 2NC, d] — agent i's block gets the 2 coefficients.
+        lane_A_small = jnp.stack([A_L, A_R], axis=3).reshape(B, N, 2 * C, 2)
+        agent_eye = jnp.eye(N)  # [N, N]
+        lane_A = jnp.einsum("bnkc,nm->bnkmc", lane_A_small, agent_eye).reshape(
+            B, N * 2 * C, d
+        )
+        lane_b0 = jnp.stack([b0_L, b0_R], axis=3).reshape(B, self.M_lane)
+        lane_h = jnp.stack([h_L, h_R], axis=3).reshape(B, self.M_lane)
+
+        # Pair rows: [B, P*C*C, d].
+        P = self._pair_i.shape[0]
+        pair_rows = P * C * C
+        ei = jax.nn.one_hot(self._pair_i, N)  # [P, N]
+        ej = jax.nn.one_hot(self._pair_j, N)
+        A_pi_f = A_pi.reshape(B, P, C * C, 2)
+        A_pj_f = A_pj.reshape(B, P, C * C, 2)
+        pair_A = (
+            jnp.einsum("bpkc,pn->bpknc", A_pi_f, ei)
+            + jnp.einsum("bpkc,pn->bpknc", A_pj_f, ej)
+        ).reshape(B, pair_rows, d)
+        if self.decentralized:
+            # Decentralized QPs: each agent treats the other's control as
+            # fixed (zero contribution) — drop the j-blocks.
+            pair_A = jnp.einsum("bpkc,pn->bpknc", A_pi_f, ei).reshape(B, pair_rows, d)
+        pair_b0 = b0_p.reshape(B, pair_rows)
+        pair_h = h_p.reshape(B, pair_rows)
+
+        # CLF rows: residual r = e * u + (-v_const); inequality
+        # -e*u + v_const - s <= 0  <=>  e*u - v_const + s >= 0.
+        clf_A = jnp.zeros((B, self.M_clf, d))
+        # heading rows use u[:, 1] (odd cols), speed rows u[:, 0] (even cols)
+        head_rows = jnp.arange(N)
+        cols_steer = 2 * np.arange(N) + 1
+        cols_acc = 2 * np.arange(N)
+        clf_A = clf_A.at[:, head_rows[:, None], cols_steer[:, None]].set(
+            e_head[..., None]
+        )
+        clf_A = clf_A.at[:, (N + head_rows)[:, None], cols_acc[:, None]].set(
+            e_speed[..., None]
+        )
+        v_head_const = cfg.lam_clf * 0.5 * e_head**2
+        v_speed_const = cfg.lam_clf * 0.5 * e_speed**2
+        clf_b = jnp.concatenate([-v_head_const, -v_speed_const], axis=-1)
+
+        use_clf = cfg.nom_controller_type == "clf"
+        A = jnp.concatenate([lane_A, pair_A, clf_A], axis=1)
+        adaptive = cfg.is_solve_qp
+        if adaptive:
+            b = jnp.concatenate([lane_b0, pair_b0, clf_b], axis=1)
+            h = jnp.concatenate(
+                [lane_h, pair_h, jnp.zeros((B, self.M_clf))], axis=1
+            )
+        else:
+            # Non-adaptive: fold lambda_ttcbf * h into the constant.
+            b = jnp.concatenate(
+                [
+                    lane_b0 + cfg.lambda_ttcbf * lane_h,
+                    pair_b0 + cfg.lambda_ttcbf * pair_h,
+                    clf_b,
+                ],
+                axis=1,
+            )
+            h = jnp.zeros((B, self.M))
+
+        w_slack = jnp.concatenate(
+            [
+                jnp.full((B, self.M_lane), cfg.lane_slack_weight),
+                jnp.full((B, pair_rows), cfg.pair_slack_weight),
+                jnp.full((B, self.M_clf), cfg.w_clf_relax),
+            ],
+            axis=1,
+        )
+        # Lambda cost: the reference adds the quadratic lambda penalty only
+        # when parameters.adaptive_lambda is set; otherwise lambda is free in
+        # [0, 1] (`build_centralized_cbf_qp:927-931`) — modeled by a
+        # vanishing weight.
+        wl = cfg.lambda_weight if cfg.adaptive_lambda_cost else 1e-9
+        w_lambda = jnp.full((B, self.M), wl)
+        valid = jnp.ones((B, self.M), bool)
+        if not use_clf:
+            valid = valid.at[:, self.M_lane + pair_rows :].set(False)
+
+        cons = ConstraintSet(A=A, b=b, h=h, w_slack=w_slack, w_lambda=w_lambda, valid=valid)
+        aux = {
+            "lane_margin_L": smL.min(-1),
+            "lane_margin_R": smR.min(-1),
+            "rl_clamped": rl_clamped,
+            "lane_b0": lane_b0,
+            "lane_h": lane_h,
+            "pair_b0": pair_b0,
+            "pair_h": pair_h,
+            "lane_A": lane_A,
+            "pair_A": pair_A,
+        }
+        return cons, u_nom.reshape(B, d), rl_clamped, aux
+
+    # ----------------------------------------------------------------- solve
+    def filter_actions(
+        self, state: WorldState, rl_actions: Array, key: Array | None = None
+    ) -> CBFStepInfo:
+        """Solve the batched CBF-QP and return safe (speed, steering) targets."""
+        cfg = self.cfg
+        B, N = state.pos.shape[:2]
+        d = 2 * N
+        cons, u_nom, rl_clamped, aux = self.assemble(state, rl_actions, key)
+
+        u_lo = jnp.tile(jnp.asarray([self.a_min, self.rate_min]), N)
+        u_hi = jnp.tile(jnp.asarray([self.a_max, self.rate_max]), N)
+        w_u = jnp.tile(jnp.asarray([cfg.w_u_acc, cfg.w_u_steer]), N)
+
+        u_star, F = solve_boxed_penalty_qp(
+            cons, u_nom, w_u, u_lo, u_hi, n_iters=cfg.newton_iters
+        )
+        solved = jnp.isfinite(F) & jnp.isfinite(u_star).all(-1)
+        u_star = jnp.where(solved[:, None], u_star, u_nom)
+
+        # Residual penetration at the solution (infeasibility diagnostic):
+        # best-case lambda is 1 when h relaxes the row (h > 0), else 0.
+        r = jnp.einsum("bmd,bd->bm", cons.A, u_star) + cons.b + jnp.maximum(cons.h, 0.0)
+        viol = jnp.where(cons.valid, jnp.maximum(0.0, -r), 0.0).max(-1)
+
+        u_star_agents = u_star.reshape(B, N, 2)
+        safe_actions = self.u_to_rl_action(u_star_agents, state.speed, state.steering)
+
+        margins = self._margins_from_aux(cons, u_nom, aux, B, N)
+        return CBFStepInfo(
+            safe_actions=safe_actions,
+            nominal_actions=rl_clamped,
+            solved=solved,
+            max_violation=viol,
+            **margins,
+        )
+
+    def nominal_margin_rewards(
+        self, state: WorldState, rl_actions: Array, key: Array | None = None
+    ) -> Dict[str, Array]:
+        """Margins-only mode: CBF-informed shaping rewards at the nominal
+        action (no QP solve)."""
+        cons, u_nom, _, aux = self.assemble(state, rl_actions, key)
+        B, N = state.pos.shape[:2]
+        return self._margins_from_aux(cons, u_nom, aux, B, N)
+
+    def _margins_from_aux(self, cons, u_nom, aux, B, N):
+        """Per-agent shaping rewards from constraint margins at u_nom with
+        lambda = lambda_ttcbf (reference `:2562-2803`)."""
+        cfg = self.cfg
+        C = cfg.n_circles
+        lam = cfg.lambda_ttcbf
+        # Margins always evaluated with the fixed gain lambda_ttcbf
+        # (reference `compute_nominal_cbf_constraint_margins`, both branches).
+        g_lane = (
+            jnp.einsum("bmd,bd->bm", aux["lane_A"], u_nom)
+            + aux["lane_b0"]
+            + aux["lane_h"] * lam
+        )
+        g_lane = g_lane.reshape(B, N, C, 2)
+        g_left = g_lane[..., 0].min(-1)  # [B, N]
+        g_right = g_lane[..., 1].min(-1)
+
+        g_pair = (
+            jnp.einsum("bmd,bd->bm", aux["pair_A"], u_nom)
+            + aux["pair_b0"]
+            + aux["pair_h"] * lam
+        )
+        P = self._pair_i.shape[0]
+        g_pair = g_pair.reshape(B, P, C * C).min(-1)  # [B, P]
+        g_pair_neg = jnp.minimum(g_pair, 0.0)
+        # Worst (most negative) pair margin touching each agent.
+        ei = jax.nn.one_hot(self._pair_i, N)  # [P, N]
+        ej = jax.nn.one_hot(self._pair_j, N)
+        big = 1e9
+        g_i = jnp.where(ei[None] > 0, g_pair_neg[:, :, None], big).min(1)  # [B, N]
+        g_j = jnp.where(ej[None] > 0, g_pair_neg[:, :, None], big).min(1)
+        v_pair = jnp.minimum(jnp.minimum(g_i, g_j), 0.0)
+
+        def to_reward(v):
+            return jnp.clip(v / cfg.h_nom, -1.0, 0.0)
+
+        return {
+            "rew_near_left_lane": to_reward(g_left),
+            "rew_near_right_lane": to_reward(g_right),
+            "rew_near_other_agents": to_reward(v_pair),
+        }

@@ -1,0 +1,110 @@
+"""Pseudo-distance field to lane boundaries (JAX, batched).
+
+Parity port of reference `sigmarl/pseudo_distance.py`: a smooth
+point-to-polyline distance where each segment's projection is interpolated
+between the pseudo tangent vectors at its two end points (giving a field
+that is continuous across segment joints, unlike plain perpendicular
+distance), minimized over segments with valid projections.
+
+Differences from the reference (documented): all math in fp32 — the
+reference round-trips through float16 (`pseudo_distance.py:118`) purely as
+an artifact; and the whole query batch `[..., P_query]` is vectorized
+against all segments at once instead of per-point host loops. An optional
+windowed mode restricts the per-query segment scan to a window around a
+known closest segment index for speed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_BIG = 1000.0
+
+
+def pseudo_distance_to_polyline(
+    points: Array,  # [..., Q, 2] query points
+    boundary: Array,  # [..., P, 2] polyline vertices (padded by repetition)
+    tangents: Array,  # [..., P, 2] pseudo tangent vectors at the vertices
+    n_valid: Array | None = None,  # [...] number of valid vertices
+) -> Array:
+    """Pseudo distance of each query point to the polyline. Returns [..., Q].
+
+    Per segment (reference `get_pseudo_distance:123-202` +
+    `get_pseudo_distance_to_segment:69-121`):
+    - rotate the query point and both end tangents into the segment frame,
+    - slopes m_b, m_t of the tangents; projection factor
+      lambda = (x + y*m_b) / (l - y*(m_t - m_b)),
+    - the pseudo distance is the norm of (point - lambda*l*e_x) in the
+      segment frame, valid when 0 <= lambda < 1; min over valid segments.
+    """
+    p_b = boundary[..., :-1, :]  # [..., S, 2]
+    p_t = boundary[..., 1:, :]
+    t_b = tangents[..., :-1, :]
+    t_t = tangents[..., 1:, :]
+
+    seg = p_t - p_b  # [..., S, 2]
+    seg_len = jnp.linalg.norm(seg, axis=-1)  # [..., S]
+    theta = jnp.arctan2(seg[..., 1], seg[..., 0])
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+
+    def to_local(vec_x, vec_y):
+        return (
+            cos_t * vec_x + sin_t * vec_y,
+            -sin_t * vec_x + cos_t * vec_y,
+        )
+
+    # Tangent slopes in the segment frame (reference guards x==0 with 1e-8).
+    tbx, tby = to_local(t_b[..., 0], t_b[..., 1])
+    ttx, tty = to_local(t_t[..., 0], t_t[..., 1])
+    m_b = jnp.where(tbx != 0, tby / jnp.where(tbx != 0, tbx, 1.0), 1e-8)
+    m_t = jnp.where(ttx != 0, tty / jnp.where(ttx != 0, ttx, 1.0), 1e-8)
+
+    # Broadcast query points against segments: [..., Q, S].
+    rel = points[..., :, None, :] - p_b[..., None, :, :]  # [..., Q, S, 2]
+    x = cos_t[..., None, :] * rel[..., 0] + sin_t[..., None, :] * rel[..., 1]
+    y = -sin_t[..., None, :] * rel[..., 0] + cos_t[..., None, :] * rel[..., 1]
+
+    l = seg_len[..., None, :]
+    denom = l - y * (m_t - m_b)[..., None, :]
+    lam = (x + y * m_b[..., None, :]) / denom  # [..., Q, S]
+
+    nx = x - lam * l
+    ny = y
+    dist = jnp.sqrt(nx * nx + ny * ny)
+
+    valid = (lam >= 0) & (lam < 1)
+    if n_valid is not None:
+        seg_idx = jnp.arange(seg.shape[-2])
+        in_range = seg_idx < (n_valid[..., None] - 1)
+        valid = valid & in_range[..., None, :]
+    # Degenerate padded segments (zero length) are never valid.
+    valid = valid & (l > 1e-9)
+
+    dist = jnp.where(valid, dist, _BIG)
+    return dist.min(axis=-1)
+
+
+def pseudo_distance_windowed(
+    points: Array,  # [..., Q, 2]
+    boundary: Array,  # [..., P, 2]
+    tangents: Array,  # [..., P, 2]
+    center_idx: Array,  # [...] int32 — window center (closest vertex index)
+    window: int,
+    n_valid: Array | None = None,
+) -> Array:
+    """Windowed variant: only `window` segments around `center_idx` are
+    scanned. Exact when the true minimizing segment lies inside the window
+    (lane geometry guarantees this for windows covering ~±0.5 m)."""
+    P = boundary.shape[-2]
+    start = jnp.clip(center_idx - window // 2, 0, max(P - window, 0))
+    offs = jnp.arange(window)
+    idx = start[..., None] + offs  # [..., window]
+    bnd = jnp.take_along_axis(boundary, idx[..., None].repeat(2, -1), axis=-2)
+    tan = jnp.take_along_axis(tangents, idx[..., None].repeat(2, -1), axis=-2)
+    nv = None
+    if n_valid is not None:
+        nv = jnp.clip(n_valid - start, 0, window)
+    return pseudo_distance_to_polyline(points, bnd, tan, nv)

@@ -57,3 +57,51 @@ def test_training_pipeline(tmp_path, scenario):
     assert bool((jnp.abs(action[..., 0]) <= env.cfg.max_speed + 1e-5).all())
     assert bool((jnp.abs(action[..., 1]) <= env.cfg.max_steering + 1e-5).all())
     assert bool(jnp.isfinite(logp).all())
+
+
+def test_cbf_informed_training(tmp_path):
+    """CBF-informed MARL (reward-from-margins, no QP solve) end to end."""
+    p = Parameters(
+        scenario_type="cpm_mixed",
+        n_agents=4,
+        num_vmas_envs=4,
+        dt=0.1,
+        max_steps=16,
+        n_iters=1,
+        num_epochs=1,
+        minibatch_size=32,
+        is_use_mtv_distance=False,
+        rew_method="cbf",
+        is_using_cbf_training=True,
+        is_solve_qp=False,
+        where_to_save=str(tmp_path) + "/",
+    )
+    trainer = MAPPOCAVs(p)
+    metrics = []
+    trainer.train(progress_callback=lambda i, m: metrics.append(m))
+    assert np.isfinite(float(metrics[0]["loss_objective"]))
+
+
+def test_cbf_filtered_training(tmp_path):
+    """Training with the in-graph CBF-QP filter applied to actions."""
+    p = Parameters(
+        scenario_type="cpm_mixed",
+        n_agents=4,
+        num_vmas_envs=4,
+        dt=0.1,
+        max_steps=16,
+        n_iters=1,
+        num_epochs=1,
+        minibatch_size=32,
+        is_use_mtv_distance=False,
+        rew_method="cbf",
+        is_using_cbf_training=True,
+        is_using_centralized_cbf=True,
+        is_solve_qp=True,
+        is_apply_cbf_action=True,
+        where_to_save=str(tmp_path) + "/",
+    )
+    trainer = MAPPOCAVs(p)
+    metrics = []
+    trainer.train(progress_callback=lambda i, m: metrics.append(m))
+    assert np.isfinite(float(metrics[0]["loss_objective"]))
