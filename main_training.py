@@ -62,6 +62,10 @@ def main():
         if v is not None:
             setattr(parameters, name, v)
     parameters.is_continue_train = True
+    # Re-derive the model directory name from the final (overridden) values.
+    from sigmarl_tpu.config import get_model_name
+
+    parameters.model_name = get_model_name(parameters)
 
     out_dir = os.path.join(parameters.where_to_save, parameters.model_name)
     os.makedirs(out_dir, exist_ok=True)

@@ -73,17 +73,23 @@ class TrainState(NamedTuple):
     ep_reward_accum: Array  # [B, N] running episodic reward (RewardSum)
     key: Array
     iteration: Array  # [] int32
+    prio_policy_params: Any = None
+    prio_critic_params: Any = None
 
 
 class Transition(NamedTuple):
-    obs: Array  # [B, N, obs]
+    obs: Array  # [B, N, obs_policy] observation the policy acted on
     action: Array  # [B, N, 2]
     log_prob: Array  # [B, N]
     reward: Array  # [B, N]
     done: Array  # [B]
-    next_obs: Array  # [B, N, obs]
+    next_obs: Array  # [B, N, obs] raw next observation
     ep_reward_at_done: Array  # [B, N] episodic reward recorded at done
     done_mask: Array  # [B] bool
+    # XP-MARL stream (zeros when prioritized MARL is off)
+    prio_obs: Array  # [B, N, obs] raw observation for the priority nets
+    prio_scores: Array  # [B, N]
+    prio_log_prob: Array  # [B, N]
 
 
 class MAPPOCAVs:
@@ -124,11 +130,32 @@ class MAPPOCAVs:
         self.low = -self.env.action_limits
         self.high = self.env.action_limits
 
+        # Observation widths: prioritized MARL pads the policy observation
+        # with n_nearing * n_actions slots for propagated actions (the
+        # reference's `base_observation`, `road_traffic.py:1513-1520`);
+        # opponent-modeling padding is already part of cfg.obs_dim.
+        self.use_prio = parameters.is_using_prioritized_marl
+        self.use_om = parameters.is_using_opponent_modeling and not self.use_prio
+        self.k_nearing = cfg.n_nearing_agents_observed
+        self.pad_extra = self.k_nearing * 2 if self.use_prio else 0
+        self.policy_obs_dim = cfg.obs_dim + self.pad_extra
+
         key = jax.random.PRNGKey(parameters.random_seed)
-        k_pi, k_v, self._key = jax.random.split(key, 3)
-        dummy = jnp.zeros((1, cfg.n_agents, cfg.obs_dim))
+        k_pi, k_v, k_pp, k_pv, self._key = jax.random.split(key, 5)
+        dummy = jnp.zeros((1, cfg.n_agents, self.policy_obs_dim))
         self.policy_params = self.policy_net.init(k_pi, dummy)
         self.critic_params = self.critic_net.init(k_v, dummy)
+
+        self.prio_policy_net = self.prio_critic_net = None
+        self.prio_policy_params = self.prio_critic_params = None
+        if self.use_prio and parameters.prioritization_method.lower() == "marl":
+            from sigmarl_tpu.rl.priority import PriorityCritic, PriorityNet
+
+            self.prio_policy_net = PriorityNet()
+            self.prio_critic_net = PriorityCritic()
+            dummy_raw = jnp.zeros((1, cfg.n_agents, cfg.obs_dim))
+            self.prio_policy_params = self.prio_policy_net.init(k_pp, dummy_raw)
+            self.prio_critic_params = self.prio_critic_net.init(k_pv, dummy_raw)
 
         self.ppo_cfg = PPOConfig(
             gamma=parameters.gamma,
@@ -151,7 +178,11 @@ class MAPPOCAVs:
             optax.adam(learning_rate=lr_schedule),
         )
         both = {"policy": self.policy_params, "critic": self.critic_params}
+        if self.prio_policy_params is not None:
+            both["prio_policy"] = self.prio_policy_params
+            both["prio_critic"] = self.prio_critic_params
         self.opt_state = self.optimizer.init(both)
+        self._init_params = both
 
         self._train_iteration = jax.jit(self._build_train_iteration())
 
@@ -178,11 +209,58 @@ class MAPPOCAVs:
                 return cbf_margin_step(env, cbf, env_state, action, k_env)
             return env.step(env_state, action, k_env)
 
+        use_prio, use_om = self.use_prio, self.use_om
+        pad_extra, k_near = self.pad_extra, self.k_nearing
+        prio_method = p.prioritization_method.lower()
+        prio_policy_net = self.prio_policy_net
+
+        def act(params, env_state, obs, key):
+            """Policy invocation per mode. Returns
+            (action, log_prob, obs_for_ppo, prio_scores, prio_log_prob)."""
+            B = obs.shape[0]
+            if use_prio:
+                from sigmarl_tpu.rl.priority import (
+                    nearing_agent_indices,
+                    prioritized_action_propagation,
+                    priority_rank,
+                )
+
+                k_prio, k_ap = jax.random.split(key)
+                prio_out = priority_rank(
+                    prio_method, prio_policy_net, params.get("prio_policy"), obs, k_prio
+                )
+                nearing = nearing_agent_indices(env_state.d_agents, k_near)
+                base_obs = jnp.pad(obs, ((0, 0), (0, 0), (0, pad_extra)))
+                noise = (
+                    p.communication_noise_level if p.is_communication_noise else 0.0
+                )
+                ap = prioritized_action_propagation(
+                    policy_net, params["policy"], base_obs, prio_out.rank, nearing,
+                    low, high, k_ap, communication_noise_level=noise,
+                )
+                return ap.actions, ap.log_prob, ap.obs_used, prio_out.scores, prio_out.log_prob
+            if use_om:
+                from sigmarl_tpu.rl.opponent import opponent_modeling_policy
+                from sigmarl_tpu.rl.priority import nearing_agent_indices
+
+                nearing = nearing_agent_indices(env_state.d_agents, k_near)
+                om = opponent_modeling_policy(
+                    policy_net, params["policy"], obs, nearing, low, high, key,
+                    noise_percentage=0.0,
+                )
+                zN = jnp.zeros(obs.shape[:2])
+                return om.actions, om.log_prob, om.obs_used, zN, zN
+            loc, scale = policy_net.apply(params["policy"], obs)
+            action, log_prob = tanh_normal_sample(key, loc, scale, low, high)
+            zN = jnp.zeros(obs.shape[:2])
+            return action, log_prob, obs, zN, zN
+
         def rollout_step(carry, key):
             env_state, obs, params, ep_accum = carry
             k_act, k_env = jax.random.split(key)
-            loc, scale = policy_net.apply(params, obs)
-            action, log_prob = tanh_normal_sample(k_act, loc, scale, low, high)
+            action, log_prob, obs_ppo, prio_scores, prio_logp = act(
+                params, env_state, obs, k_act
+            )
             env_state, next_obs, reward, done, _ = env_transition(
                 env_state, action, k_env
             )
@@ -190,28 +268,50 @@ class MAPPOCAVs:
             ep_at_done = ep_accum
             ep_accum = jnp.where(done[:, None], 0.0, ep_accum)
             tr = Transition(
-                obs, action, log_prob, reward, done, next_obs, ep_at_done, done
+                obs_ppo, action, log_prob, reward, done, next_obs, ep_at_done, done,
+                obs, prio_scores, prio_logp,
             )
             return (env_state, next_obs, params, ep_accum), tr
 
         def train_iteration(state: TrainState):
             key, k_roll, k_perm, k_ent = jax.random.split(state.key, 4)
 
+            params0 = {"policy": state.policy_params, "critic": state.critic_params}
+            if state.prio_policy_params is not None:
+                params0["prio_policy"] = state.prio_policy_params
+                params0["prio_critic"] = state.prio_critic_params
+
             # 1. Collect frames_per_batch = B * T frames.
             keys = jax.random.split(k_roll, T)
             (env_state, obs, _, ep_accum), batch = jax.lax.scan(
                 rollout_step,
-                (state.env_state, state.obs, state.policy_params, state.ep_reward_accum),
+                (state.env_state, state.obs, params0, state.ep_reward_accum),
                 keys,
             )
+
+            def pad_obs(o):
+                if pad_extra:
+                    return jnp.pad(o, ((0, 0), (0, 0), (0, 0), (0, pad_extra)))
+                return o
 
             # 2. Values + GAE (no grad).
             critic_apply = lambda o: critic_net.apply(state.critic_params, o)[..., 0]
             values = critic_apply(batch.obs)  # [T, B, N]
-            next_values = critic_apply(batch.next_obs)
+            next_values = critic_apply(pad_obs(batch.next_obs))
             advantages, value_targets = gae(
                 batch.reward, values, next_values, batch.done, ppo_cfg.gamma, ppo_cfg.lmbda
             )
+            if "prio_critic" in params0:
+                prio_v = lambda o: self.prio_critic_net.apply(
+                    state.prio_critic_params, o
+                )[..., 0]
+                pv = prio_v(batch.prio_obs)
+                pnv = prio_v(batch.next_obs)
+                prio_adv, prio_vt = gae(
+                    batch.reward, pv, pnv, batch.done, ppo_cfg.gamma, ppo_cfg.lmbda
+                )
+            else:
+                prio_adv = prio_vt = jnp.zeros_like(advantages)
 
             # 3. Flatten to env-frames and run epochs of minibatch updates.
             def flat(x):
@@ -224,16 +324,43 @@ class MAPPOCAVs:
                 adv=flat(advantages),
                 vt=flat(value_targets),
             )
+            if "prio_policy" in params0:
+                data.update(
+                    prio_obs=flat(batch.prio_obs),
+                    prio_scores=flat(batch.prio_scores),
+                    prio_log_prob=flat(batch.prio_log_prob),
+                    prio_adv=flat(prio_adv),
+                    prio_vt=flat(prio_vt),
+                )
             M = data["obs"].shape[0]
             mb_size = M // n_mb
 
             def loss_fn(params, mb, ent_key):
                 loc, scale = policy_net.apply(params["policy"], mb["obs"])
                 v = critic_net.apply(params["critic"], mb["obs"])[..., 0]
-                return ppo_losses(
+                total, stats = ppo_losses(
                     loc, scale, v, mb["action"], mb["log_prob"], mb["adv"], mb["vt"],
                     low, high, ppo_cfg, ent_key,
                 )
+                if "prio_policy" in params:
+                    # XP-MARL: the priority actor-critic trains with its own
+                    # Clip-PPO loss on the 1-D TanhNormal score stream
+                    # (reference `priority_module.py:93-126`).
+                    p_loc, p_scale = prio_policy_net.apply(
+                        params["prio_policy"], mb["prio_obs"]
+                    )
+                    p_v = self.prio_critic_net.apply(
+                        params["prio_critic"], mb["prio_obs"]
+                    )[..., 0]
+                    p_total, p_stats = ppo_losses(
+                        p_loc, p_scale, p_v,
+                        mb["prio_scores"][..., None], mb["prio_log_prob"],
+                        mb["prio_adv"], mb["prio_vt"],
+                        jnp.asarray([-1.0]), jnp.asarray([1.0]), ppo_cfg, ent_key,
+                    )
+                    total = total + p_total
+                    stats = {**stats, "loss_priority": p_total}
+                return total, stats
 
             def minibatch_update(carry, mb_and_key):
                 params, opt_state = carry
@@ -260,10 +387,9 @@ class MAPPOCAVs:
                 )
                 return (params, opt_state), jax.tree.map(lambda s: s.mean(), stats)
 
-            params = {"policy": state.policy_params, "critic": state.critic_params}
             epoch_keys = jax.random.split(k_ent, p.num_epochs)
             (params, opt_state), stats = jax.lax.scan(
-                epoch_update, (params, state.opt_state), epoch_keys
+                epoch_update, (params0, state.opt_state), epoch_keys
             )
 
             # 4. Metrics: mean episodic reward over done events (RewardSum).
@@ -282,6 +408,8 @@ class MAPPOCAVs:
             new_state = TrainState(
                 policy_params=params["policy"],
                 critic_params=params["critic"],
+                prio_policy_params=params.get("prio_policy"),
+                prio_critic_params=params.get("prio_critic"),
                 opt_state=opt_state,
                 env_state=env_state,
                 obs=obs,
@@ -314,6 +442,8 @@ class MAPPOCAVs:
             ep_reward_accum=jnp.zeros((p.num_vmas_envs, p.n_agents)),
             key=key,
             iteration=jnp.zeros((), jnp.int32),
+            prio_policy_params=self.prio_policy_params,
+            prio_critic_params=self.prio_critic_params,
         )
 
         saver = ckpt.RewardKeyedCheckpointer(p)

@@ -105,3 +105,35 @@ def test_cbf_filtered_training(tmp_path):
     metrics = []
     trainer.train(progress_callback=lambda i, m: metrics.append(m))
     assert np.isfinite(float(metrics[0]["loss_objective"]))
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(is_using_prioritized_marl=True, prioritization_method="marl"),
+        dict(is_using_prioritized_marl=True, prioritization_method="random"),
+        dict(is_using_opponent_modeling=True),
+    ],
+    ids=["xp-marl", "random-priority", "opponent-modeling"],
+)
+def test_extension_training_modes(tmp_path, kw):
+    """XP-MARL prioritized action propagation and opponent modeling."""
+    p = Parameters(
+        scenario_type="cpm_mixed",
+        n_agents=4,
+        num_vmas_envs=4,
+        dt=0.1,
+        max_steps=16,
+        n_iters=1,
+        num_epochs=1,
+        minibatch_size=32,
+        is_use_mtv_distance=False,
+        where_to_save=str(tmp_path) + "/",
+        **kw,
+    )
+    trainer = MAPPOCAVs(p)
+    metrics = []
+    trainer.train(progress_callback=lambda i, m: metrics.append(m))
+    assert np.isfinite(float(metrics[0]["loss_objective"]))
+    if kw.get("prioritization_method") == "marl":
+        assert np.isfinite(float(metrics[0]["loss_priority"]))
