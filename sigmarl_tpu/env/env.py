@@ -149,6 +149,9 @@ class RoadTrafficEnv:
             terminal_step=state.step,
         )
 
+        if cfg.is_challenging_initial_state_buffer:
+            state = self._record_challenging_states(state, k_reset)
+
         any_reset = reset_mask.any()
         state = jax.lax.cond(
             any_reset,
@@ -162,6 +165,45 @@ class RoadTrafficEnv:
         return state, obs, reward, done, info
 
     # ------------------------------------------------------------- internals
+    def _record_challenging_states(self, state: WorldState, key: Array) -> WorldState:
+        """Record the state from n_steps_stored steps before each agent-agent
+        collision into the global challenge buffer (reference
+        `road_traffic.py:1415-1427`), with `probability_record`."""
+        cfg = self.cfg
+        collided = state.coll_agents.reshape(cfg.batch_dim, -1).any(-1)  # [B]
+        record_draw = jax.random.uniform(key, ()) <= cfg.probability_record
+        # Oldest record in the circular buffer = the state n_steps_stored ago.
+        oldest_idx = state.sb_pointer % cfg.n_steps_stored
+        oldest = jax.lax.dynamic_index_in_dim(
+            state.state_buffer, oldest_idx, axis=0, keepdims=False
+        )  # [B, N, 8]
+
+        def write(carry, b):
+            buf, ptr, valid = carry
+            do = collided[b] & record_draw
+            buf = jax.lax.cond(
+                do,
+                lambda bu: jax.lax.dynamic_update_index_in_dim(
+                    bu, oldest[b], ptr % cfg.challenge_buffer_size, axis=0
+                ),
+                lambda bu: bu,
+                buf,
+            )
+            ptr = jnp.where(do, (ptr + 1) % cfg.challenge_buffer_size, ptr)
+            valid = jnp.where(
+                do, jnp.minimum(valid + 1, cfg.challenge_buffer_size), valid
+            )
+            return (buf, ptr, valid), None
+
+        (buf, ptr, valid), _ = jax.lax.scan(
+            write,
+            (state.challenge_buffer, state.cb_pointer, state.cb_valid),
+            jnp.arange(cfg.batch_dim),
+        )
+        return replace_state(
+            state, challenge_buffer=buf, cb_pointer=ptr, cb_valid=valid
+        )
+
     def _done_and_reset_mask(self, state: WorldState) -> Tuple[Array, Array]:
         """Compute the per-env done flag and the agent reset mask
         (reference `done()`, `road_traffic.py:1368-1487`)."""

@@ -183,6 +183,32 @@ def apply_reset(
         [speed_new * jnp.cos(rot), speed_new * jnp.sin(rot)], axis=-1
     )
 
+    if cfg.is_challenging_initial_state_buffer:
+        # With probability_use_recording, full-env resets replay a recorded
+        # pre-collision state instead of random spawning (reference
+        # `road_traffic.py:857-873`). Record layout: [x, y, rot, vx, vy,
+        # scenario, path, point].
+        k_use, k_pick = jax.random.split(jax.random.fold_in(key, 7))
+        use_draw = jax.random.uniform(k_use, (B,)) < cfg.probability_use_recording
+        use_rec = use_draw & full_env_reset & (state.cb_valid >= 1)
+        pick = jax.random.randint(
+            k_pick, (B,), 0, jnp.maximum(state.cb_valid, 1)
+        )
+        rec = state.challenge_buffer[pick]  # [B, N, 8]
+        m_rec = (use_rec[:, None] & reset_mask)
+        pos = jnp.where(m_rec[..., None], rec[..., 0:2], pos)
+        rot = jnp.where(m_rec, rec[..., 2], rot)
+        vel_rec = rec[..., 3:5]
+        vel_new = jnp.where(m_rec[..., None], vel_rec, vel_new)
+        # The reference leaves speed/steering stale here; we derive speed
+        # from the recorded velocity (documented divergence).
+        speed_new = jnp.where(m_rec, jnp.linalg.norm(vel_rec, axis=-1), speed_new)
+        path_id = jnp.where(m_rec, rec[..., 6].astype(jnp.int32), path_id)
+        point_id = jnp.where(m_rec, rec[..., 7].astype(jnp.int32), point_id)
+        scenario_id_env = jnp.where(
+            use_rec, rec[:, 0, 5].astype(jnp.int32), scenario_id_env
+        )
+
     m = reset_mask
     m2 = m[..., None]
     state = replace_state(

@@ -101,6 +101,11 @@ class EnvConfig:
     n_steps_stored: int = 10
     # Spawn sampling
     max_spawn_tries: int = 20
+    # Challenging initial-state buffer (reference `InitialStateBuffer`)
+    is_challenging_initial_state_buffer: bool = False
+    challenge_buffer_size: int = 100
+    probability_record: float = 1.0
+    probability_use_recording: float = 0.2
     # Whether the loaded map defines lanelet adjacency (set by make_env;
     # enables lanelet-based masking under is_apply_mask)
     has_lanelet_neighbors: bool = False
@@ -232,6 +237,7 @@ class EnvConfig:
             is_using_prioritized_marl=p.is_using_prioritized_marl,
             rew_method=p.rew_method,
             reset_agent_fixed_duration=p.reset_agent_fixed_duration,
+            is_challenging_initial_state_buffer=p.is_challenging_initial_state_buffer,
             cpm_scenario_probabilities=tuple(p.cpm_scenario_probabilities),
             n_steps_stored=p.n_steps_stored,
             is_using_cbf=p.is_using_cbf_training or p.is_using_cbf_testing,
@@ -281,6 +287,11 @@ class WorldState:
     step: Array  # [B] int32
     state_buffer: Array  # [n_stored, B, N, 8] circular ([x,y,rot,vx,vy,scn,path,pt])
     sb_pointer: Array  # [] int32
+    # Challenging initial-state buffer (global circular buffer of pre-collision
+    # states, reference `InitialStateBuffer` + `road_traffic.py:1415-1427`)
+    challenge_buffer: Array  # [CB, N, 8]
+    cb_pointer: Array  # [] int32
+    cb_valid: Array  # [] int32
     # Actions (nominal = policy output, applied = post-CBF)
     nominal_action: Array  # [B, N, 2]
     applied_action: Array  # [B, N, 2]
@@ -328,6 +339,9 @@ def zero_state(cfg: EnvConfig) -> WorldState:
         step=f((B,), jnp.int32),
         state_buffer=f((cfg.n_steps_stored, B, N, 8)),
         sb_pointer=jnp.zeros((), jnp.int32),
+        challenge_buffer=f((cfg.challenge_buffer_size, N, 8)),
+        cb_pointer=jnp.zeros((), jnp.int32),
+        cb_valid=jnp.zeros((), jnp.int32),
         nominal_action=f((B, N, 2)),
         applied_action=f((B, N, 2)),
         rew_near_left_lane=f((B, N)),

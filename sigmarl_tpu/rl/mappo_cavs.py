@@ -92,6 +92,18 @@ class Transition(NamedTuple):
     prio_log_prob: Array  # [B, N]
 
 
+def compute_td_error(reward, values, next_values, done, gamma: float = 0.9):
+    """Normalized TD-error priorities for the prioritized replay buffer
+    (reference `helper_training.py:1029-1068`): |TD error| averaged over the
+    cooperative agents, min-max normalized to (1e-3, 10]."""
+    not_done = (~done).astype(reward.dtype)[..., None]
+    td = jnp.abs(reward + gamma * next_values * not_done - values)
+    td = td.mean(axis=-1)  # cooperative agents
+    td_min, td_max = td.min(), td.max()
+    rng = jnp.maximum(td_max - td_min, 1e-3)
+    return jnp.clip((td - td_min) / rng * 10.0, 1e-3, 10.0)
+
+
 class MAPPOCAVs:
     """Multi-Agent PPO trainer (reference `mappo_cavs.py` MAPPOCAVs)."""
 
@@ -332,6 +344,21 @@ class MAPPOCAVs:
                     prio_adv=flat(prio_adv),
                     prio_vt=flat(prio_vt),
                 )
+            if p.is_prb:
+                # Initial priorities from the collection-time TD error
+                # (reference `_update_priorities:380-387`, alpha=0.7).
+                prio0 = compute_td_error(
+                    batch.reward, values, next_values, batch.done
+                ).reshape(-1)
+                data.update(
+                    reward=flat(batch.reward),
+                    next_obs=flat(batch.next_obs),
+                    done_f=(
+                        jnp.broadcast_to(
+                            batch.done[..., None], batch.reward.shape
+                        ).reshape(-1, batch.reward.shape[-1])
+                    ),
+                )
             M = data["obs"].shape[0]
             mb_size = M // n_mb
 
@@ -372,7 +399,46 @@ class MAPPOCAVs:
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), stats
 
+            prb_alpha = 0.7  # reference `mappo_cavs.py:324-326`
+
+            def prb_minibatch_update(carry, key_pair):
+                params, opt_state, priorities = carry
+                k_s, ent_key = key_pair
+                logits = prb_alpha * jnp.log(priorities)
+                idx = jax.random.categorical(k_s, logits, shape=(mb_size,))
+                mb = {k: v[idx] for k, v in data.items()}
+                (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mb, ent_key
+                )
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                # Refresh priorities of the sampled frames with the updated
+                # critic (reference `_update_priorities_after_training`).
+                v_new = critic_net.apply(params["critic"], mb["obs"])[..., 0]
+                nv_new = critic_net.apply(params["critic"], pad_obs_flat(mb["next_obs"]))[..., 0]
+                done_mb = mb["done_f"][:, 0] > 0.5
+                td_new = compute_td_error(mb["reward"], v_new, nv_new, done_mb)
+                priorities = priorities.at[idx].set(td_new)
+                return (params, opt_state, priorities), stats
+
+            def pad_obs_flat(o):
+                if pad_extra:
+                    return jnp.pad(o, ((0, 0), (0, 0), (0, pad_extra)))
+                return o
+
             def epoch_update(carry, epoch_key):
+                if p.is_prb:
+                    params, opt_state, priorities = carry
+                    k_e = epoch_key
+                    keys = jax.random.split(k_e, 2 * n_mb).reshape(n_mb, 2, -1)
+                    (params, opt_state, priorities), stats = jax.lax.scan(
+                        prb_minibatch_update,
+                        (params, opt_state, priorities),
+                        (keys[:, 0], keys[:, 1]),
+                    )
+                    return (params, opt_state, priorities), jax.tree.map(
+                        lambda s: s.mean(), stats
+                    )
                 params, opt_state = carry
                 k_p, k_e = jax.random.split(epoch_key)
                 perm = jax.random.permutation(k_p, M)
@@ -388,9 +454,14 @@ class MAPPOCAVs:
                 return (params, opt_state), jax.tree.map(lambda s: s.mean(), stats)
 
             epoch_keys = jax.random.split(k_ent, p.num_epochs)
-            (params, opt_state), stats = jax.lax.scan(
-                epoch_update, (params0, state.opt_state), epoch_keys
-            )
+            if p.is_prb:
+                (params, opt_state, _), stats = jax.lax.scan(
+                    epoch_update, (params0, state.opt_state, prio0), epoch_keys
+                )
+            else:
+                (params, opt_state), stats = jax.lax.scan(
+                    epoch_update, (params0, state.opt_state), epoch_keys
+                )
 
             # 4. Metrics: mean episodic reward over done events (RewardSum).
             done_f = batch.done_mask[..., None].astype(jnp.float32)  # [T, B, 1]

@@ -131,11 +131,19 @@ class CBFSafetyFilter:
         env_cfg: EnvConfig,
         tables: MapTables,
         decentralized: bool = False,
+        max_group_size: int = 0,
     ):
         self.cfg = cfg
         self.env_cfg = env_cfg
         self.tables = tables
         self.decentralized = decentralized
+        # Grouped mode (reference `build_grouped_cbf_qps:1562-1856`): pair
+        # constraints couple both agents' controls only within a group;
+        # cross-group pairs get two single-sided rows instead. Because the
+        # QP cost is agent-separable, this one masked QP decomposes exactly
+        # into the reference's per-group QPs.
+        self.max_group_size = max_group_size
+        self.grouped = max_group_size > 0
         self.approx = CircleApproximation(
             AGENTS["length"], AGENTS["width"], cfg.n_circles
         )
@@ -288,7 +296,11 @@ class CBFSafetyFilter:
 
     # -------------------------------------------------------------- assembly
     def assemble(
-        self, state: WorldState, rl_actions: Array, key: Array | None = None
+        self,
+        state: WorldState,
+        rl_actions: Array,
+        key: Array | None = None,
+        group_id: Array | None = None,
     ) -> Tuple[ConstraintSet, Array, Array, Dict[str, Array]]:
         """Build the batched constraint set and nominal input.
 
@@ -353,16 +365,30 @@ class CBFSafetyFilter:
         ej = jax.nn.one_hot(self._pair_j, N)
         A_pi_f = A_pi.reshape(B, P, C * C, 2)
         A_pj_f = A_pj.reshape(B, P, C * C, 2)
-        pair_A = (
-            jnp.einsum("bpkc,pn->bpknc", A_pi_f, ei)
-            + jnp.einsum("bpkc,pn->bpknc", A_pj_f, ej)
-        ).reshape(B, pair_rows, d)
+        pair_A_i = jnp.einsum("bpkc,pn->bpknc", A_pi_f, ei).reshape(B, pair_rows, d)
+        pair_A_j = jnp.einsum("bpkc,pn->bpknc", A_pj_f, ej).reshape(B, pair_rows, d)
+        pair_A = pair_A_i + pair_A_j
         if self.decentralized:
             # Decentralized QPs: each agent treats the other's control as
             # fixed (zero contribution) — drop the j-blocks.
-            pair_A = jnp.einsum("bpkc,pn->bpknc", A_pi_f, ei).reshape(B, pair_rows, d)
+            pair_A = pair_A_i
         pair_b0 = b0_p.reshape(B, pair_rows)
         pair_h = h_p.reshape(B, pair_rows)
+        pair_valid = jnp.ones((B, pair_rows), bool)
+        extra_rows = 0
+        if self.grouped and group_id is not None:
+            from sigmarl_tpu.safety.grouping import same_group_mask
+
+            same = same_group_mask(group_id, self._pair_i, self._pair_j)  # [B, P]
+            same_cc = jnp.repeat(same, C * C, axis=-1)  # [B, pair_rows]
+            # Same-group rows: coupled. Cross-group rows: i-sided here, plus
+            # a j-sided extra block below.
+            pair_A = jnp.where(same_cc[..., None], pair_A, pair_A_i)
+            extra_A = pair_A_j
+            extra_b0 = pair_b0
+            extra_h = pair_h
+            extra_valid = ~same_cc
+            extra_rows = pair_rows
 
         # CLF rows: residual r = e * u + (-v_const); inequality
         # -e*u + v_const - s <= 0  <=>  e*u - v_const + s >= 0.
@@ -382,42 +408,54 @@ class CBFSafetyFilter:
         clf_b = jnp.concatenate([-v_head_const, -v_speed_const], axis=-1)
 
         use_clf = cfg.nom_controller_type == "clf"
-        A = jnp.concatenate([lane_A, pair_A, clf_A], axis=1)
+        A_blocks = [lane_A, pair_A]
+        b0_blocks = [lane_b0, pair_b0]
+        h_blocks = [lane_h, pair_h]
+        valid_blocks = [jnp.ones((B, self.M_lane), bool), pair_valid]
+        ws_blocks = [
+            jnp.full((B, self.M_lane), cfg.lane_slack_weight),
+            jnp.full((B, pair_rows), cfg.pair_slack_weight),
+        ]
+        if extra_rows:
+            A_blocks.append(extra_A)
+            b0_blocks.append(extra_b0)
+            h_blocks.append(extra_h)
+            valid_blocks.append(extra_valid)
+            ws_blocks.append(jnp.full((B, extra_rows), cfg.pair_slack_weight))
+        A_blocks.append(clf_A)
+        b0_blocks.append(clf_b)
+        h_blocks.append(jnp.zeros((B, self.M_clf)))
+        valid_blocks.append(jnp.full((B, self.M_clf), use_clf))
+        ws_blocks.append(jnp.full((B, self.M_clf), cfg.w_clf_relax))
+
+        M_total = self.M + extra_rows
+        A = jnp.concatenate(A_blocks, axis=1)
         adaptive = cfg.is_solve_qp
         if adaptive:
-            b = jnp.concatenate([lane_b0, pair_b0, clf_b], axis=1)
-            h = jnp.concatenate(
-                [lane_h, pair_h, jnp.zeros((B, self.M_clf))], axis=1
-            )
+            # CLF rows carry no barrier term; their h block is zero.
+            b = jnp.concatenate(b0_blocks, axis=1)
+            h = jnp.concatenate(h_blocks, axis=1)
+            h = h.at[:, M_total - self.M_clf :].set(0.0)
         else:
             # Non-adaptive: fold lambda_ttcbf * h into the constant.
             b = jnp.concatenate(
                 [
-                    lane_b0 + cfg.lambda_ttcbf * lane_h,
-                    pair_b0 + cfg.lambda_ttcbf * pair_h,
-                    clf_b,
-                ],
+                    b0 + cfg.lambda_ttcbf * hh
+                    for b0, hh in zip(b0_blocks[:-1], h_blocks[:-1])
+                ]
+                + [b0_blocks[-1]],
                 axis=1,
             )
-            h = jnp.zeros((B, self.M))
+            h = jnp.zeros((B, M_total))
 
-        w_slack = jnp.concatenate(
-            [
-                jnp.full((B, self.M_lane), cfg.lane_slack_weight),
-                jnp.full((B, pair_rows), cfg.pair_slack_weight),
-                jnp.full((B, self.M_clf), cfg.w_clf_relax),
-            ],
-            axis=1,
-        )
+        w_slack = jnp.concatenate(ws_blocks, axis=1)
         # Lambda cost: the reference adds the quadratic lambda penalty only
         # when parameters.adaptive_lambda is set; otherwise lambda is free in
         # [0, 1] (`build_centralized_cbf_qp:927-931`) — modeled by a
         # vanishing weight.
         wl = cfg.lambda_weight if cfg.adaptive_lambda_cost else 1e-9
-        w_lambda = jnp.full((B, self.M), wl)
-        valid = jnp.ones((B, self.M), bool)
-        if not use_clf:
-            valid = valid.at[:, self.M_lane + pair_rows :].set(False)
+        w_lambda = jnp.full((B, M_total), wl)
+        valid = jnp.concatenate(valid_blocks, axis=1)
 
         cons = ConstraintSet(A=A, b=b, h=h, w_slack=w_slack, w_lambda=w_lambda, valid=valid)
         aux = {
@@ -441,7 +479,12 @@ class CBFSafetyFilter:
         cfg = self.cfg
         B, N = state.pos.shape[:2]
         d = 2 * N
-        cons, u_nom, rl_clamped, aux = self.assemble(state, rl_actions, key)
+        group_id = None
+        if self.grouped:
+            from sigmarl_tpu.safety.grouping import group_agents_k_nearest
+
+            group_id = group_agents_k_nearest(state.pos, self.max_group_size)
+        cons, u_nom, rl_clamped, aux = self.assemble(state, rl_actions, key, group_id)
 
         u_lo = jnp.tile(jnp.asarray([self.a_min, self.rate_min]), N)
         u_hi = jnp.tile(jnp.asarray([self.a_max, self.rate_max]), N)
