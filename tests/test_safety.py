@@ -326,3 +326,51 @@ def test_cbf_filter_reduces_collisions():
     c_without = rollout(False)
     c_with = rollout(True)
     assert c_with < c_without, (c_with, c_without)
+
+
+def test_hocbf_taylor_experiments():
+    """TTCBF vs HOCBF point-mass obstacle avoidance (LCSS25)."""
+    from sigmarl_tpu.safety import hocbf_taylor as H
+
+    for deg in (1, 2):
+        for appr, lam in (("taylor", 0.5), ("hocbf", 3.0)):
+            cfg = H.HOCBFConfig(
+                relative_degree=deg, approach=appr, num_steps=300, dt=0.01,
+                lambda_1=lam, lambda_2=3.0,
+            )
+            assert H.check_initial_conditions(cfg), (deg, appr)
+            t = H.run_simulation(cfg)
+            assert not bool(t["collided"]), (deg, appr, float(t["h_min"]))
+    # Parameter sweep produces a heatmap with both safe and unsafe regions.
+    res = H.run_experiment_multi_parameters(
+        H.HOCBFConfig(relative_degree=2, approach="taylor", num_steps=150),
+        np.linspace(0.1, 1.0, 4), np.linspace(0.005, 0.05, 4),
+    )
+    assert np.isfinite(res["h_min"]).all()
+
+
+def test_cbf_demo_two_agents():
+    """ECC25 standalone 2-agent CBF demo: the filter prevents collisions."""
+    from sigmarl_tpu.safety.cbf_demo import CBFDemoConfig, run_demo
+
+    for scen in ("overtaking", "bypassing"):
+        t = run_demo(CBFDemoConfig(scenario=scen))
+        assert not t["collided"], (scen, t["h_min"])
+        # The filter actually modified the nominal action at some point.
+        assert np.abs(t["u"] - t["u_nom"]).max() > 1e-3
+
+
+def test_sm_predictor_learns():
+    """The MTV safety-margin net learns the distance field (small budget)."""
+    from sigmarl_tpu.safety.sm_predictor import SafetyMarginEstimatorModule
+
+    sm = SafetyMarginEstimatorModule()
+    bound = sm.train(num_values=13, epochs=60, batch_size=512, verbose=False)
+    assert np.isfinite(bound)
+    assert bound < 0.2, bound  # coarse fit is enough at this budget
+    # Gradient/Hessian are available and finite (needed by the CBF chain).
+    import jax.numpy as jnp
+
+    m, g, h = sm.margin_grad_hess(jnp.asarray([0.3, 0.1, 0.5]))
+    assert np.isfinite(float(m)) and np.isfinite(np.asarray(g)).all()
+    assert np.asarray(h).shape == (3, 3)
