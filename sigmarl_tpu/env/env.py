@@ -85,6 +85,46 @@ class RoadTrafficEnv:
         obs = observe(self.cfg, self.tables, state, k_obs)
         return state, obs
 
+    def reset_predefined(
+        self, key: Array, init_state: Array, path_idx: Array
+    ) -> Tuple[WorldState, Array]:
+        """Reset all envs from predefined poses and reference paths
+        (reference `Parameters.predefined_ref_path_idx` / `init_state`,
+        `world_state_rt_sim.py:94-126`): pose set exactly, velocity/steering
+        zero.
+
+        Args:
+            init_state: [N, 3] rows (x, y, rot), broadcast over envs.
+            path_idx: [N] reference-path indices.
+        """
+        from sigmarl_tpu.env.structs import replace_state, zero_state
+        from sigmarl_tpu.env.updates import (
+            push_state_buffer,
+            update_geometry,
+            update_short_term_paths,
+        )
+
+        cfg, tables = self.cfg, self.tables
+        B, N = cfg.batch_dim, cfg.n_agents
+        state = zero_state(cfg)
+        pos = jnp.broadcast_to(init_state[None, :, 0:2], (B, N, 2))
+        rot = jnp.broadcast_to(init_state[None, :, 2], (B, N))
+        pid = jnp.broadcast_to(path_idx[None, :], (B, N)).astype(jnp.int32)
+        state = replace_state(
+            state,
+            pos=pos,
+            rot=rot,
+            path_id=pid,
+            scenario_id=jnp.broadcast_to(
+                tables.group_id[pid[0, 0]], (B, N)
+            ).astype(jnp.int32),
+        )
+        state = update_geometry(cfg, tables, state)
+        state = update_short_term_paths(cfg, tables, state, at_reset=True)
+        state = push_state_buffer(state)
+        obs = observe(cfg, tables, state, key)
+        return state, obs
+
     def step(
         self, state: WorldState, actions: Array, key: Array
     ) -> Tuple[WorldState, Array, Array, Array, Dict[str, Array]]:
