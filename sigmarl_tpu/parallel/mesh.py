@@ -34,10 +34,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_world_state(state, mesh: Mesh):
-    """Shard a `WorldState`: batch axis over the mesh; the circular state
-    buffer [n_stored, B, ...] shards on its second axis; scalars replicate."""
+    """Shard a `WorldState`: leaves whose leading axis is the env batch shard
+    over the mesh; the circular state buffer [n_stored, B, ...] shards on its
+    second axis; everything else (scalars, the global challenge buffer, and
+    any leaf whose leading dim is not the batch) replicates."""
     import dataclasses
 
+    B = state.pos.shape[0]
     env_s = env_sharding(mesh)
     rep = replicated(mesh)
     axis2 = NamedSharding(mesh, P(None, ENV_AXIS))
@@ -46,8 +49,8 @@ def shard_world_state(state, mesh: Mesh):
         v = getattr(state, f.name)
         if f.name == "state_buffer":
             out[f.name] = jax.device_put(v, axis2)
-        elif getattr(v, "ndim", 0) == 0:
-            out[f.name] = jax.device_put(v, rep)
-        else:
+        elif getattr(v, "ndim", 0) >= 1 and v.shape[0] == B:
             out[f.name] = jax.device_put(v, env_s)
+        else:
+            out[f.name] = jax.device_put(v, rep)
     return dataclasses.replace(state, **out)
