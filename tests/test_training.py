@@ -137,3 +137,36 @@ def test_extension_training_modes(tmp_path, kw):
     assert np.isfinite(float(metrics[0]["loss_objective"]))
     if kw.get("prioritization_method") == "marl":
         assert np.isfinite(float(metrics[0]["loss_priority"]))
+
+
+def test_cbf_module_learns_scores():
+    """The learned-CBF actor-critic (reference `modules/cbf_module.py`)
+    samples bounded scores and completes a finite PPO update."""
+    import jax
+    import jax.numpy as jnp
+
+    from sigmarl_tpu.rl.cbf_module import CBFModule, make_cbf_observation
+
+    T, B, N, D, k = 4, 3, 4, 10, 2
+    mod = CBFModule(obs_dim=D + k * 2, n_agents=N)
+    state = mod.init(jax.random.PRNGKey(0))
+
+    base = jax.random.normal(jax.random.PRNGKey(1), (T + 1, B, N, D))
+    obs = make_cbf_observation(base, k)
+    assert obs.shape[-1] == D + k * 2
+    assert np.allclose(np.asarray(obs[..., D:]), 0.0)
+
+    scores, logp = mod.sample_scores(state, obs[:T], jax.random.PRNGKey(2))
+    assert scores.shape == (T, B, N)
+    assert np.all(np.abs(np.asarray(scores)) <= 1.0)
+
+    rewards = jax.random.normal(jax.random.PRNGKey(3), (T, B, N))
+    dones = jnp.zeros((T, B), bool)
+    new_state, stats = mod.train_step(
+        state, obs[:T], obs[1:], scores, logp, rewards, dones, jax.random.PRNGKey(4)
+    )
+    assert np.isfinite(float(stats["loss_objective"]))
+    assert np.isfinite(float(stats["loss_critic"]))
+    leaf0 = jax.tree.leaves(state.policy_params)[0]
+    leaf1 = jax.tree.leaves(new_state.policy_params)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
