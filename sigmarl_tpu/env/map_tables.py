@@ -64,6 +64,37 @@ class MapTables:
     neighboring_lanelets: Array  # [n_lanelets, n_lanelets] bool
 
 
+def path_onehot(path_id: Array, n_paths: int) -> Array:
+    """One-hot row selector for table lookups. [...,] int32 -> [..., K] f32.
+
+    TPU note: XLA gathers of whole table rows (`table[path_id]`) lower to
+    slow scalar-indexed HBM gathers; a one-hot matmul rides the MXU instead
+    and is exact (each output element is 1.0 * row + 0.0 * rest). Build this
+    once per step and pass it to every `lookup` so XLA CSEs the selector.
+    """
+    return jax.nn.one_hot(path_id, n_paths, dtype=jnp.float32)
+
+
+def lookup(oh: Array, table: Array) -> Array:
+    """Row lookup via one-hot matmul: oh [..., K], table [K, ...rest].
+
+    Exact for float tables (fp32 accumulation, one nonzero per row); int and
+    bool tables round-trip through fp32 exactly for the value ranges stored
+    here (counts, flags).
+    """
+    K = table.shape[0]
+    rest = table.shape[1:]
+    flat = table.reshape(K, -1).astype(jnp.float32)
+    out = jnp.einsum(
+        "...k,kr->...r", oh, flat, precision=jax.lax.Precision.HIGHEST
+    ).reshape(oh.shape[:-1] + rest)
+    if table.dtype == jnp.bool_:
+        return out > 0.5
+    if jnp.issubdtype(table.dtype, jnp.integer):
+        return jnp.round(out).astype(table.dtype)
+    return out.astype(table.dtype)
+
+
 def _pad_polyline(p: np.ndarray, length: int) -> np.ndarray:
     if p.shape[0] >= length:
         return p[:length]

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from sigmarl_tpu.core import geometry as G
-from sigmarl_tpu.env.map_tables import MapTables
+from sigmarl_tpu.env.map_tables import MapTables, lookup, path_onehot
 from sigmarl_tpu.env.structs import EnvConfig, WorldState, replace_state
 
 Array = jax.Array
@@ -37,12 +37,13 @@ def update_geometry(cfg: EnvConfig, tables: MapTables, state: WorldState) -> Wor
     else:
         d_agents = G.mtv_distances(verts, set_diagonal_to=cfg.world_semidiag)
 
-    lt = tables.long_term[state.path_id]  # [B, N, P, 2]
-    n_lt = tables.n_points_long_term[state.path_id]
-    lb = tables.left_boundary[state.path_id]  # [B, N, PB, 2]
-    rb = tables.right_boundary[state.path_id]
-    n_lb = tables.n_points_left_b[state.path_id]
-    n_rb = tables.n_points_right_b[state.path_id]
+    oh = path_onehot(state.path_id, tables.long_term.shape[0])
+    lt = lookup(oh, tables.long_term)  # [B, N, P, 2]
+    n_lt = lookup(oh, tables.n_points_long_term)
+    lb = lookup(oh, tables.left_boundary)  # [B, N, PB, 2]
+    rb = lookup(oh, tables.right_boundary)
+    n_lb = lookup(oh, tables.n_points_left_b)
+    n_rb = lookup(oh, tables.n_points_right_b)
 
     d_ref, idx_ref = G.perpendicular_distances(pos, lt, n_lt)
 
@@ -69,9 +70,9 @@ def update_geometry(cfg: EnvConfig, tables: MapTables, state: WorldState) -> Wor
     coll_lanelets = G.interx(verts, lb) | G.interx(verts, rb)
 
     # Entry/exit segment crossings (meaningful for non-loop paths only).
-    not_loop = ~tables.is_loop[state.path_id]
-    coll_entry = G.interx(verts, tables.entry[state.path_id]) & not_loop
-    coll_exit = G.interx(verts, tables.exit[state.path_id]) & not_loop
+    not_loop = ~lookup(oh, tables.is_loop)
+    coll_entry = G.interx(verts, lookup(oh, tables.entry)) & not_loop
+    coll_exit = G.interx(verts, lookup(oh, tables.exit)) & not_loop
 
     return replace_state(
         state,
@@ -101,9 +102,10 @@ def update_short_term_paths(
     at reset the nearing-boundary windows use shift +1 instead of -2
     (`world_state_rt.py:512-576`).
     """
-    lt = tables.long_term[state.path_id]
-    n_lt = tables.n_points_long_term[state.path_id]
-    is_loop = tables.is_loop[state.path_id]
+    oh = path_onehot(state.path_id, tables.long_term.shape[0])
+    lt = lookup(oh, tables.long_term)
+    n_lt = lookup(oh, tables.n_points_long_term)
+    is_loop = lookup(oh, tables.is_loop)
     short_term, _ = G.short_term_reference_path(
         lt, state.idx_ref, cfg.n_points_short_term, is_loop, n_lt,
         sample_interval=cfg.sample_interval_ref_path, n_points_shift=1,
@@ -111,8 +113,8 @@ def update_short_term_paths(
     out = {"short_term": short_term}
     if not cfg.is_observe_distance_to_boundaries:
         shift = 1 if at_reset else -2
-        lb = tables.left_boundary[state.path_id]
-        rb = tables.right_boundary[state.path_id]
+        lb = lookup(oh, tables.left_boundary)
+        rb = lookup(oh, tables.right_boundary)
         nl, _ = G.short_term_reference_path(
             lb, state.idx_left, cfg.n_points_nearing_boundary, is_loop, n_lt,
             sample_interval=1, n_points_shift=shift,

@@ -45,7 +45,12 @@ from sigmarl_tpu.env.structs import EnvConfig, WorldState
 from sigmarl_tpu.safety.circles import CircleApproximation, circle_centers_world
 from sigmarl_tpu.safety.kinematics import CenterKinematics, center_kinematics
 from sigmarl_tpu.safety.pseudo_distance import pseudo_distance_to_polyline
-from sigmarl_tpu.safety.qp import ConstraintSet, solve_boxed_penalty_qp
+from sigmarl_tpu.safety.qp import (
+    ConstraintSet,
+    StructuredConstraintSet,
+    solve_boxed_penalty_qp,
+    solve_structured_qp,
+)
 
 Array = jax.Array
 
@@ -198,12 +203,15 @@ class CBFSafetyFilter:
         q = centers[..., None, :] + offsets  # [B, N, C, 9, 2]
         q = q.reshape(B, N, C * 9, 2)
 
-        lb = self.tables.left_boundary[path_id]  # [B, N, PB, 2]
-        rb = self.tables.right_boundary[path_id]
-        lpv = self.tables.left_boundary_pseudo_vec[path_id]
-        rpv = self.tables.right_boundary_pseudo_vec[path_id]
-        n_lb = self.tables.n_points_left_b[path_id]
-        n_rb = self.tables.n_points_right_b[path_id]
+        from sigmarl_tpu.env.map_tables import lookup, path_onehot
+
+        oh = path_onehot(path_id, self.tables.left_boundary.shape[0])
+        lb = lookup(oh, self.tables.left_boundary)  # [B, N, PB, 2]
+        rb = lookup(oh, self.tables.right_boundary)
+        lpv = lookup(oh, self.tables.left_boundary_pseudo_vec)
+        rpv = lookup(oh, self.tables.right_boundary_pseudo_vec)
+        n_lb = lookup(oh, self.tables.n_points_left_b)
+        n_rb = lookup(oh, self.tables.n_points_right_b)
 
         if cfg.use_windowed_pseudo_distance and idx_left is not None:
             from sigmarl_tpu.safety.pseudo_distance import pseudo_distance_windowed
@@ -301,11 +309,14 @@ class CBFSafetyFilter:
         rl_actions: Array,
         key: Array | None = None,
         group_id: Array | None = None,
-    ) -> Tuple[ConstraintSet, Array, Array, Dict[str, Array]]:
-        """Build the batched constraint set and nominal input.
+    ) -> Tuple[StructuredConstraintSet, Array, Array, Dict[str, Array]]:
+        """Build the batched constraint set (block-sparse form) and nominal
+        input.
 
-        Returns (constraints over z=[u_0..u_{N-1}] in R^{2N}, u_nom [B,2N],
-        rl_clamped [B,N,2], aux dict with margins info).
+        Returns (structured constraints, u_nom [B,N,2], rl_clamped [B,N,2],
+        aux dict with margins info). Row blocks per agent: 2C lane rows
+        (circle x side) + 2 CLF rows; per pair: C^2 coupled rows (+ C^2
+        j-sided rows in grouped mode).
         """
         cfg = self.cfg
         B, N = state.pos.shape[:2]
@@ -348,128 +359,148 @@ class CBFSafetyFilter:
         A_R, b0_R, h_R = self._lane_coeffs(kins, smR, gR, HR)
         A_pi, A_pj, b0_p, h_p = self._pair_coeffs(centers, kins)
 
-        d = 2 * N
-        # Lane rows: [B, 2NC, d] — agent i's block gets the 2 coefficients.
-        lane_A_small = jnp.stack([A_L, A_R], axis=3).reshape(B, N, 2 * C, 2)
-        agent_eye = jnp.eye(N)  # [N, N]
-        lane_A = jnp.einsum("bnkc,nm->bnkmc", lane_A_small, agent_eye).reshape(
-            B, N * 2 * C, d
-        )
-        lane_b0 = jnp.stack([b0_L, b0_R], axis=3).reshape(B, self.M_lane)
-        lane_h = jnp.stack([h_L, h_R], axis=3).reshape(B, self.M_lane)
+        # ---- single-agent block: 2C lane rows + 2 CLF rows per agent.
+        lane_A = jnp.stack([A_L, A_R], axis=3).reshape(B, N, 2 * C, 2)
+        lane_b0 = jnp.stack([b0_L, b0_R], axis=3).reshape(B, N, 2 * C)
+        lane_h = jnp.stack([h_L, h_R], axis=3).reshape(B, N, 2 * C)
 
-        # Pair rows: [B, P*C*C, d].
+        # CLF rows: residual r = e * u + (-v_const); heading row acts on the
+        # steering-rate input, speed row on the acceleration input.
+        zeros_bn = jnp.zeros((B, N))
+        clf_A = jnp.stack(
+            [
+                jnp.stack([zeros_bn, e_head], axis=-1),  # heading row
+                jnp.stack([e_speed, zeros_bn], axis=-1),  # speed row
+            ],
+            axis=2,
+        )  # [B, N, 2, 2]
+        clf_b = jnp.stack(
+            [
+                -cfg.lam_clf * 0.5 * e_head**2,
+                -cfg.lam_clf * 0.5 * e_speed**2,
+            ],
+            axis=-1,
+        )  # [B, N, 2]
+        use_clf = cfg.nom_controller_type == "clf"
+
+        Ks = 2 * C + 2
+        A_s = jnp.concatenate([lane_A, clf_A], axis=2)  # [B, N, Ks, 2]
+        b0_s = jnp.concatenate([lane_b0, clf_b], axis=2)
+        h_s = jnp.concatenate([lane_h, jnp.zeros((B, N, 2))], axis=2)
+        ws_s = jnp.concatenate(
+            [
+                jnp.full((B, N, 2 * C), cfg.lane_slack_weight),
+                jnp.full((B, N, 2), cfg.w_clf_relax),
+            ],
+            axis=2,
+        )
+        valid_s = jnp.concatenate(
+            [jnp.ones((B, N, 2 * C), bool), jnp.full((B, N, 2), use_clf)], axis=2
+        )
+
+        # ---- pair block.
         P = self._pair_i.shape[0]
-        pair_rows = P * C * C
-        ei = jax.nn.one_hot(self._pair_i, N)  # [P, N]
-        ej = jax.nn.one_hot(self._pair_j, N)
-        A_pi_f = A_pi.reshape(B, P, C * C, 2)
-        A_pj_f = A_pj.reshape(B, P, C * C, 2)
-        pair_A_i = jnp.einsum("bpkc,pn->bpknc", A_pi_f, ei).reshape(B, pair_rows, d)
-        pair_A_j = jnp.einsum("bpkc,pn->bpknc", A_pj_f, ej).reshape(B, pair_rows, d)
-        pair_A = pair_A_i + pair_A_j
+        Kp = C * C
+        A_pi_f = A_pi.reshape(B, P, Kp, 2)
+        A_pj_f = A_pj.reshape(B, P, Kp, 2)
+        b0_pf = b0_p.reshape(B, P, Kp)
+        h_pf = h_p.reshape(B, P, Kp)
+        valid_p = jnp.ones((B, P, Kp), bool)
         if self.decentralized:
             # Decentralized QPs: each agent treats the other's control as
             # fixed (zero contribution) — drop the j-blocks.
-            pair_A = pair_A_i
-        pair_b0 = b0_p.reshape(B, pair_rows)
-        pair_h = h_p.reshape(B, pair_rows)
-        pair_valid = jnp.ones((B, pair_rows), bool)
-        extra_rows = 0
+            A_pj_f = jnp.zeros_like(A_pj_f)
         if self.grouped and group_id is not None:
             from sigmarl_tpu.safety.grouping import same_group_mask
 
             same = same_group_mask(group_id, self._pair_i, self._pair_j)  # [B, P]
-            same_cc = jnp.repeat(same, C * C, axis=-1)  # [B, pair_rows]
-            # Same-group rows: coupled. Cross-group rows: i-sided here, plus
-            # a j-sided extra block below.
-            pair_A = jnp.where(same_cc[..., None], pair_A, pair_A_i)
-            extra_A = pair_A_j
-            extra_b0 = pair_b0
-            extra_h = pair_h
-            extra_valid = ~same_cc
-            extra_rows = pair_rows
+            same_k = jnp.broadcast_to(same[..., None], (B, P, Kp))
+            # Same-group rows stay coupled; cross-group rows split into an
+            # i-sided row plus a j-sided extra row.
+            extra_Ai = jnp.zeros_like(A_pi_f)
+            extra_Aj = jnp.where(same_k[..., None], 0.0, A_pj_f)
+            A_pj_f = jnp.where(same_k[..., None], A_pj_f, 0.0)
+            A_pi_f = jnp.concatenate([A_pi_f, extra_Ai], axis=2)
+            A_pj_f = jnp.concatenate([A_pj_f, extra_Aj], axis=2)
+            b0_pf = jnp.concatenate([b0_pf, b0_pf], axis=2)
+            h_pf = jnp.concatenate([h_pf, h_pf], axis=2)
+            valid_p = jnp.concatenate([valid_p, ~same_k], axis=2)
+            Kp = 2 * Kp
 
-        # CLF rows: residual r = e * u + (-v_const); inequality
-        # -e*u + v_const - s <= 0  <=>  e*u - v_const + s >= 0.
-        clf_A = jnp.zeros((B, self.M_clf, d))
-        # heading rows use u[:, 1] (odd cols), speed rows u[:, 0] (even cols)
-        head_rows = jnp.arange(N)
-        cols_steer = 2 * np.arange(N) + 1
-        cols_acc = 2 * np.arange(N)
-        clf_A = clf_A.at[:, head_rows[:, None], cols_steer[:, None]].set(
-            e_head[..., None]
-        )
-        clf_A = clf_A.at[:, (N + head_rows)[:, None], cols_acc[:, None]].set(
-            e_speed[..., None]
-        )
-        v_head_const = cfg.lam_clf * 0.5 * e_head**2
-        v_speed_const = cfg.lam_clf * 0.5 * e_speed**2
-        clf_b = jnp.concatenate([-v_head_const, -v_speed_const], axis=-1)
-
-        use_clf = cfg.nom_controller_type == "clf"
-        A_blocks = [lane_A, pair_A]
-        b0_blocks = [lane_b0, pair_b0]
-        h_blocks = [lane_h, pair_h]
-        valid_blocks = [jnp.ones((B, self.M_lane), bool), pair_valid]
-        ws_blocks = [
-            jnp.full((B, self.M_lane), cfg.lane_slack_weight),
-            jnp.full((B, pair_rows), cfg.pair_slack_weight),
-        ]
-        if extra_rows:
-            A_blocks.append(extra_A)
-            b0_blocks.append(extra_b0)
-            h_blocks.append(extra_h)
-            valid_blocks.append(extra_valid)
-            ws_blocks.append(jnp.full((B, extra_rows), cfg.pair_slack_weight))
-        A_blocks.append(clf_A)
-        b0_blocks.append(clf_b)
-        h_blocks.append(jnp.zeros((B, self.M_clf)))
-        valid_blocks.append(jnp.full((B, self.M_clf), use_clf))
-        ws_blocks.append(jnp.full((B, self.M_clf), cfg.w_clf_relax))
-
-        M_total = self.M + extra_rows
-        A = jnp.concatenate(A_blocks, axis=1)
         adaptive = cfg.is_solve_qp
-        if adaptive:
-            # CLF rows carry no barrier term; their h block is zero.
-            b = jnp.concatenate(b0_blocks, axis=1)
-            h = jnp.concatenate(h_blocks, axis=1)
-            h = h.at[:, M_total - self.M_clf :].set(0.0)
-        else:
-            # Non-adaptive: fold lambda_ttcbf * h into the constant.
-            b = jnp.concatenate(
-                [
-                    b0 + cfg.lambda_ttcbf * hh
-                    for b0, hh in zip(b0_blocks[:-1], h_blocks[:-1])
-                ]
-                + [b0_blocks[-1]],
-                axis=1,
-            )
-            h = jnp.zeros((B, M_total))
+        if not adaptive:
+            # Non-adaptive: fold lambda_ttcbf * h into the constant (CLF rows
+            # carry h = 0 already).
+            b0_s = b0_s + cfg.lambda_ttcbf * h_s
+            b0_pf = b0_pf + cfg.lambda_ttcbf * h_pf
+            h_s = jnp.zeros_like(h_s)
+            h_pf = jnp.zeros_like(h_pf)
 
-        w_slack = jnp.concatenate(ws_blocks, axis=1)
         # Lambda cost: the reference adds the quadratic lambda penalty only
         # when parameters.adaptive_lambda is set; otherwise lambda is free in
         # [0, 1] (`build_centralized_cbf_qp:927-931`) — modeled by a
         # vanishing weight.
         wl = cfg.lambda_weight if cfg.adaptive_lambda_cost else 1e-9
-        w_lambda = jnp.full((B, M_total), wl)
-        valid = jnp.concatenate(valid_blocks, axis=1)
 
-        cons = ConstraintSet(A=A, b=b, h=h, w_slack=w_slack, w_lambda=w_lambda, valid=valid)
+        cons = StructuredConstraintSet(
+            A_s=A_s,
+            b_s=b0_s,
+            h_s=h_s,
+            ws_s=ws_s,
+            wl_s=jnp.full((B, N, Ks), wl),
+            valid_s=valid_s,
+            A_pi=A_pi_f,
+            A_pj=A_pj_f,
+            b_p=b0_pf,
+            h_p=h_pf,
+            ws_p=jnp.full((B, P, Kp), cfg.pair_slack_weight),
+            wl_p=jnp.full((B, P, Kp), wl),
+            valid_p=valid_p,
+            pair_i=self._pair_i,
+            pair_j=self._pair_j,
+        )
         aux = {
             "lane_margin_L": smL.min(-1),
             "lane_margin_R": smR.min(-1),
             "rl_clamped": rl_clamped,
+            "lane_A": lane_A,
             "lane_b0": lane_b0,
             "lane_h": lane_h,
-            "pair_b0": pair_b0,
-            "pair_h": pair_h,
-            "lane_A": lane_A,
-            "pair_A": pair_A,
+            "pair_Ai": A_pi.reshape(B, P, C * C, 2),
+            "pair_Aj": (jnp.zeros_like(A_pj) if self.decentralized else A_pj).reshape(
+                B, P, C * C, 2
+            ),
+            "pair_b0": b0_p.reshape(B, P, C * C),
+            "pair_h": h_p.reshape(B, P, C * C),
         }
-        return cons, u_nom.reshape(B, d), rl_clamped, aux
+        return cons, u_nom, rl_clamped, aux
+
+    def to_dense(self, cons: StructuredConstraintSet) -> ConstraintSet:
+        """Expand a structured set to the dense [B, M, 2N] form (testing /
+        oracle cross-checks only — never on the hot path)."""
+        B, N, Ks = cons.A_s.shape[:3]
+        P, Kp = cons.A_pi.shape[1:3]
+        d = 2 * N
+        ei = jax.nn.one_hot(jnp.asarray(cons.pair_i), N)
+        ej = jax.nn.one_hot(jnp.asarray(cons.pair_j), N)
+        A_single = jnp.einsum("bnkc,nm->bnkmc", cons.A_s, jnp.eye(N)).reshape(
+            B, N * Ks, d
+        )
+        A_pair = (
+            jnp.einsum("bpkc,pn->bpknc", cons.A_pi, ei)
+            + jnp.einsum("bpkc,pn->bpknc", cons.A_pj, ej)
+        ).reshape(B, P * Kp, d)
+        cat = lambda s, p: jnp.concatenate(
+            [s.reshape(B, N * Ks), p.reshape(B, P * Kp)], axis=1
+        )
+        return ConstraintSet(
+            A=jnp.concatenate([A_single, A_pair], axis=1),
+            b=cat(cons.b_s, cons.b_p),
+            h=cat(cons.h_s, cons.h_p),
+            w_slack=cat(cons.ws_s, cons.ws_p),
+            w_lambda=cat(cons.wl_s, cons.wl_p),
+            valid=cat(cons.valid_s, cons.valid_p),
+        )
 
     # ----------------------------------------------------------------- solve
     def filter_actions(
@@ -486,23 +517,34 @@ class CBFSafetyFilter:
             group_id = group_agents_k_nearest(state.pos, self.max_group_size)
         cons, u_nom, rl_clamped, aux = self.assemble(state, rl_actions, key, group_id)
 
-        u_lo = jnp.tile(jnp.asarray([self.a_min, self.rate_min]), N)
-        u_hi = jnp.tile(jnp.asarray([self.a_max, self.rate_max]), N)
-        w_u = jnp.tile(jnp.asarray([cfg.w_u_acc, cfg.w_u_steer]), N)
+        u_lo = jnp.asarray([self.a_min, self.rate_min])
+        u_hi = jnp.asarray([self.a_max, self.rate_max])
+        w_u = jnp.asarray([cfg.w_u_acc, cfg.w_u_steer])
 
-        u_star, F = solve_boxed_penalty_qp(
+        u_star, F = solve_structured_qp(
             cons, u_nom, w_u, u_lo, u_hi, n_iters=cfg.newton_iters
         )
-        solved = jnp.isfinite(F) & jnp.isfinite(u_star).all(-1)
-        u_star = jnp.where(solved[:, None], u_star, u_nom)
+        solved = jnp.isfinite(F) & jnp.isfinite(u_star).all((-1, -2))
+        u_star = jnp.where(solved[:, None, None], u_star, u_nom)
 
         # Residual penetration at the solution (infeasibility diagnostic):
         # best-case lambda is 1 when h relaxes the row (h > 0), else 0.
-        r = jnp.einsum("bmd,bd->bm", cons.A, u_star) + cons.b + jnp.maximum(cons.h, 0.0)
-        viol = jnp.where(cons.valid, jnp.maximum(0.0, -r), 0.0).max(-1)
+        r_s = (
+            jnp.einsum("bnkc,bnc->bnk", cons.A_s, u_star)
+            + cons.b_s
+            + jnp.maximum(cons.h_s, 0.0)
+        )
+        r_p = (
+            jnp.einsum("bpkc,bpc->bpk", cons.A_pi, u_star[:, cons.pair_i])
+            + jnp.einsum("bpkc,bpc->bpk", cons.A_pj, u_star[:, cons.pair_j])
+            + cons.b_p
+            + jnp.maximum(cons.h_p, 0.0)
+        )
+        viol_s = jnp.where(cons.valid_s, jnp.maximum(0.0, -r_s), 0.0).max((-1, -2))
+        viol_p = jnp.where(cons.valid_p, jnp.maximum(0.0, -r_p), 0.0).max((-1, -2))
+        viol = jnp.maximum(viol_s, viol_p)
 
-        u_star_agents = u_star.reshape(B, N, 2)
-        safe_actions = self.u_to_rl_action(u_star_agents, state.speed, state.steering)
+        safe_actions = self.u_to_rl_action(u_star, state.speed, state.steering)
 
         margins = self._margins_from_aux(cons, u_nom, aux, B, N)
         return CBFStepInfo(
@@ -524,14 +566,17 @@ class CBFSafetyFilter:
 
     def _margins_from_aux(self, cons, u_nom, aux, B, N):
         """Per-agent shaping rewards from constraint margins at u_nom with
-        lambda = lambda_ttcbf (reference `:2562-2803`)."""
+        lambda = lambda_ttcbf (reference `:2562-2803`).
+
+        u_nom: [B, N, 2]; block coefficients from `aux` (pre lambda-folding).
+        """
         cfg = self.cfg
         C = cfg.n_circles
         lam = cfg.lambda_ttcbf
         # Margins always evaluated with the fixed gain lambda_ttcbf
         # (reference `compute_nominal_cbf_constraint_margins`, both branches).
         g_lane = (
-            jnp.einsum("bmd,bd->bm", aux["lane_A"], u_nom)
+            jnp.einsum("bnkc,bnc->bnk", aux["lane_A"], u_nom)
             + aux["lane_b0"]
             + aux["lane_h"] * lam
         )
@@ -540,12 +585,13 @@ class CBFSafetyFilter:
         g_right = g_lane[..., 1].min(-1)
 
         g_pair = (
-            jnp.einsum("bmd,bd->bm", aux["pair_A"], u_nom)
+            jnp.einsum("bpkc,bpc->bpk", aux["pair_Ai"], u_nom[:, self._pair_i])
+            + jnp.einsum("bpkc,bpc->bpk", aux["pair_Aj"], u_nom[:, self._pair_j])
             + aux["pair_b0"]
             + aux["pair_h"] * lam
         )
         P = self._pair_i.shape[0]
-        g_pair = g_pair.reshape(B, P, C * C).min(-1)  # [B, P]
+        g_pair = g_pair.min(-1)  # [B, P]
         g_pair_neg = jnp.minimum(g_pair, 0.0)
         # Worst (most negative) pair margin touching each agent.
         ei = jax.nn.one_hot(self._pair_i, N)  # [P, N]

@@ -29,6 +29,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -164,6 +165,174 @@ def solve_boxed_penalty_qp(
     u = jax.lax.fori_loop(0, n_iters, lambda _, uu: newton_step(uu), u)
     F, _, _ = F_parts(u)
     return u, F
+
+
+class StructuredConstraintSet(NamedTuple):
+    """Block-sparse constraint set exploiting CBF structure: every row
+    touches at most two agents' controls.
+
+    Single-agent rows (lane + CLF): a . u_n + b + h*lam >= -s, shapes
+    [B, N, Ks, ...]. Pair rows: ai . u_i + aj . u_j + b + h*lam >= -s,
+    shapes [B, P, Kp, ...] with static pair index vectors (numpy, [P]).
+
+    Versus the dense [B, M, 2N] form this cuts residual/gradient/Hessian
+    work per Newton iteration by ~d/2 = N x and never materializes the
+    dense constraint matrix (127 MB at B=1024, N=15) in HBM.
+    """
+
+    A_s: Array  # [B, N, Ks, 2]
+    b_s: Array  # [B, N, Ks]
+    h_s: Array  # [B, N, Ks]
+    ws_s: Array  # [B, N, Ks]
+    wl_s: Array  # [B, N, Ks]
+    valid_s: Array  # [B, N, Ks]
+    A_pi: Array  # [B, P, Kp, 2]
+    A_pj: Array  # [B, P, Kp, 2]
+    b_p: Array  # [B, P, Kp]
+    h_p: Array  # [B, P, Kp]
+    ws_p: Array  # [B, P, Kp]
+    wl_p: Array  # [B, P, Kp]
+    valid_p: Array  # [B, P, Kp]
+    pair_i: np.ndarray  # static [P]
+    pair_j: np.ndarray  # static [P]
+
+
+def _normalize_structured(cons: StructuredConstraintSet, ws_cap: float):
+    """Row normalization (exact reformulation, see solve_boxed_penalty_qp)."""
+    ns = jnp.linalg.norm(cons.A_s, axis=-1)
+    ss = jnp.maximum(ns, 1e-6)
+    np_ = jnp.sqrt(
+        jnp.sum(cons.A_pi**2, axis=-1) + jnp.sum(cons.A_pj**2, axis=-1)
+    )
+    sp = jnp.maximum(np_, 1e-6)
+    return cons._replace(
+        A_s=cons.A_s / ss[..., None],
+        b_s=cons.b_s / ss,
+        h_s=cons.h_s / ss,
+        ws_s=jnp.minimum(cons.ws_s * ss * ss, ws_cap),
+        A_pi=cons.A_pi / sp[..., None],
+        A_pj=cons.A_pj / sp[..., None],
+        b_p=cons.b_p / sp,
+        h_p=cons.h_p / sp,
+        ws_p=jnp.minimum(cons.ws_p * sp * sp, ws_cap),
+    )
+
+
+def solve_structured_qp(
+    cons: StructuredConstraintSet,
+    u_nom: Array,  # [B, N, 2]
+    w_u: Array,  # [2]
+    u_lo: Array,  # [2]
+    u_hi: Array,  # [2]
+    n_iters: int = 12,
+    ridge: float = 1e-8,
+) -> Tuple[Array, Array]:
+    """Projected damped Newton on the eliminated QP in block-sparse form.
+
+    Same minimizer as `solve_boxed_penalty_qp` on the equivalent dense
+    constraints (tests pin the agreement); all residuals/gradients are
+    [B, N, Ks] / [B, P, Kp] einsums, the Gauss-Newton Hessian is assembled
+    as 2x2 agent blocks, and the SPD system is solved by batched Cholesky.
+
+    Returns (u_star [B, N, 2], F(u_star) [B]).
+    """
+    B, N = u_nom.shape[:2]
+    d = 2 * N
+    P = cons.pair_i.shape[0]
+    cons = _normalize_structured(cons, ws_cap=3e6)
+
+    pi = jnp.asarray(cons.pair_i)
+    pj = jnp.asarray(cons.pair_j)
+    ei = jax.nn.one_hot(pi, N, dtype=u_nom.dtype)  # [P, N]
+    ej = jax.nn.one_hot(pj, N, dtype=u_nom.dtype)
+
+    def residuals(u):  # u [B, N, 2]
+        r_s = jnp.einsum("bnkc,bnc->bnk", cons.A_s, u) + cons.b_s
+        u_i = u[:, cons.pair_i]  # [B, P, 2] (static gather)
+        u_j = u[:, cons.pair_j]
+        r_p = (
+            jnp.einsum("bpkc,bpc->bpk", cons.A_pi, u_i)
+            + jnp.einsum("bpkc,bpc->bpk", cons.A_pj, u_j)
+            + cons.b_p
+        )
+        return r_s, r_p
+
+    def F_value(u):
+        r_s, r_p = residuals(u)
+        v_s, _, _ = _phi_terms(r_s, cons.h_s, cons.ws_s, cons.wl_s)
+        v_p, _, _ = _phi_terms(r_p, cons.h_p, cons.ws_p, cons.wl_p)
+        v_s = jnp.where(cons.valid_s, v_s, 0.0)
+        v_p = jnp.where(cons.valid_p, v_p, 0.0)
+        track = jnp.sum(w_u * (u - u_nom) ** 2, axis=(-1, -2))
+        return track + v_s.sum((-1, -2)) + v_p.sum((-1, -2))
+
+    eye2 = jnp.eye(2)
+
+    def newton_step(u):
+        r_s, r_p = residuals(u)
+        v_s, d_s, dd_s = _phi_terms(r_s, cons.h_s, cons.ws_s, cons.wl_s)
+        v_p, d_p, dd_p = _phi_terms(r_p, cons.h_p, cons.ws_p, cons.wl_p)
+        v_s = jnp.where(cons.valid_s, v_s, 0.0)
+        d_s = jnp.where(cons.valid_s, d_s, 0.0)
+        dd_s = jnp.where(cons.valid_s, dd_s, 0.0)
+        v_p = jnp.where(cons.valid_p, v_p, 0.0)
+        d_p = jnp.where(cons.valid_p, d_p, 0.0)
+        dd_p = jnp.where(cons.valid_p, dd_p, 0.0)
+
+        F = (
+            jnp.sum(w_u * (u - u_nom) ** 2, axis=(-1, -2))
+            + v_s.sum((-1, -2))
+            + v_p.sum((-1, -2))
+        )
+
+        # Gradient [B, N, 2].
+        g_pair_i = jnp.einsum("bpkc,bpk->bpc", cons.A_pi, d_p)  # [B, P, 2]
+        g_pair_j = jnp.einsum("bpkc,bpk->bpc", cons.A_pj, d_p)
+        grad = (
+            2.0 * w_u * (u - u_nom)
+            + jnp.einsum("bnkc,bnk->bnc", cons.A_s, d_s)
+            + jnp.einsum("bpc,pn->bnc", g_pair_i, ei)
+            + jnp.einsum("bpc,pn->bnc", g_pair_j, ej)
+        )
+
+        # Gauss-Newton Hessian as 2x2 blocks.
+        Hd_s = jnp.einsum("bnkc,bnk,bnke->bnce", cons.A_s, dd_s, cons.A_s)
+        Hii = jnp.einsum("bpkc,bpk,bpke->bpce", cons.A_pi, dd_p, cons.A_pi)
+        Hjj = jnp.einsum("bpkc,bpk,bpke->bpce", cons.A_pj, dd_p, cons.A_pj)
+        Hij = jnp.einsum("bpkc,bpk,bpke->bpce", cons.A_pi, dd_p, cons.A_pj)
+        Hd = (
+            Hd_s
+            + jnp.einsum("bpce,pn->bnce", Hii, ei)
+            + jnp.einsum("bpce,pn->bnce", Hjj, ej)
+            + 2.0 * jnp.einsum("c,ce->ce", w_u, eye2)
+            + ridge * eye2
+        )  # [B, N, 2, 2]
+        # Off-diagonal agent blocks: scatter pair blocks into [B, N, N, 2, 2].
+        Hoff = jnp.einsum("bpce,pn,pm->bnmce", Hij, ei, ej)
+        Hoff = Hoff + jnp.swapaxes(jnp.swapaxes(Hoff, 1, 2), 3, 4)
+
+        H = Hoff + jnp.einsum("bnce,nm->bnmce", Hd, jnp.eye(N, dtype=u.dtype))
+        H = jnp.transpose(H, (0, 1, 3, 2, 4)).reshape(B, d, d)
+
+        L = jnp.linalg.cholesky(H)
+        gflat = grad.reshape(B, d, 1)
+        y = jax.scipy.linalg.solve_triangular(L, -gflat, lower=True)
+        step = jax.scipy.linalg.solve_triangular(
+            L, y, lower=True, trans=1
+        ).reshape(B, N, 2)
+
+        best_u, best_F = u, F
+        for alpha in (1.0, 0.5, 0.25, 0.0625):
+            u_t = jnp.clip(u + alpha * step, u_lo, u_hi)
+            F_t = F_value(u_t)
+            take = F_t < best_F
+            best_u = jnp.where(take[..., None, None], u_t, best_u)
+            best_F = jnp.where(take, F_t, best_F)
+        return best_u
+
+    u = jnp.clip(u_nom, u_lo, u_hi)
+    u = jax.lax.fori_loop(0, n_iters, lambda _, uu: newton_step(uu), u)
+    return u, F_value(u)
 
 
 def eliminated_lambda(

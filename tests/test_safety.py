@@ -374,3 +374,42 @@ def test_sm_predictor_learns():
     m, g, h = sm.margin_grad_hess(jnp.asarray([0.3, 0.1, 0.5]))
     assert np.isfinite(float(m)) and np.isfinite(np.asarray(g)).all()
     assert np.asarray(h).shape == (3, 3)
+
+
+def test_structured_solver_matches_dense(cbf_env):
+    """The block-sparse hot-path solver must agree with the dense reference
+    solver on the actual assembled CBF constraints."""
+    from sigmarl_tpu.safety.qp import solve_boxed_penalty_qp, solve_structured_qp
+
+    env, cbf, state = cbf_env
+    key = jax.random.PRNGKey(11)
+    actions = jax.random.uniform(key, (4, 4, 2), minval=-0.3, maxval=0.8)
+    cons, u_nom, _, _ = cbf.assemble(state, actions)
+    dense = cbf.to_dense(cons)
+
+    w_u = jnp.asarray([cbf.cfg.w_u_acc, cbf.cfg.w_u_steer])
+    lo = jnp.asarray([cbf.a_min, cbf.rate_min])
+    hi = jnp.asarray([cbf.a_max, cbf.rate_max])
+
+    u_struct, F_struct = solve_structured_qp(cons, u_nom, w_u, lo, hi, n_iters=25)
+    B, N = u_nom.shape[:2]
+    u_dense, F_dense = solve_boxed_penalty_qp(
+        dense, u_nom.reshape(B, 2 * N), jnp.tile(w_u, N),
+        jnp.tile(lo, N), jnp.tile(hi, N), n_iters=25,
+    )
+    # Objective values must agree everywhere (fp32-tight).
+    np.testing.assert_allclose(
+        np.asarray(F_struct), np.asarray(F_dense), rtol=1e-4, atol=1e-6
+    )
+    # Minimizers compared only on feasible-ish envs: on massively infeasible
+    # crash states (F ~ 1e6 from stiff slack penalties) the fp32 objective
+    # cannot resolve the flat tracking directions, so both solvers park at
+    # equally-optimal-to-rounding points that differ in u (the reference's
+    # OSQP path declares QP-INF there and falls back to the nominal action).
+    feasible = np.asarray(F_struct) < 1.0
+    assert feasible.any()
+    np.testing.assert_allclose(
+        np.asarray(u_struct.reshape(B, 2 * N))[feasible],
+        np.asarray(u_dense)[feasible],
+        atol=2e-4,
+    )
