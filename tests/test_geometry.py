@@ -84,3 +84,28 @@ def test_angle_wrap():
     w = np.asarray(G.angle_eliminate_two_pi(a))
     assert (w <= np.pi + 1e-6).all() and (w >= -np.pi - 1e-6).all()
     np.testing.assert_allclose(np.sin(w), np.sin(np.asarray(a)), atol=1e-5)
+
+
+def test_interx_vs_numpy_oracle():
+    """The batched interx kernel agrees with the unbatched numpy oracle
+    (parity stand-in for the reference's interX_original.py) on random
+    polyline pairs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sigmarl_tpu.core.geometry import interx
+    from sigmarl_tpu.utils.interx_numpy import interx_bool, interx_points
+
+    rng = np.random.default_rng(7)
+    agree = 0
+    for trial in range(50):
+        L1 = rng.normal(0, 1, (6, 2)).cumsum(0) * 0.3
+        L2 = rng.normal(0, 1, (8, 2)).cumsum(0) * 0.3
+        got = bool(jax.jit(interx)(jnp.asarray(L1), jnp.asarray(L2)))
+        want = interx_bool(L1, L2)
+        assert got == want, f"trial {trial}"
+        if want:
+            assert interx_points(L1, L2).shape[0] >= 1
+            agree += 1
+    assert agree > 5  # sanity: a decent share of random pairs intersect
