@@ -75,7 +75,6 @@ def main():
         env = make_env(p)
         cbf = CBFSafetyFilter(
             CBFConfig(n_agents=N, n_circles=3, dt=0.1,
-                      use_windowed_pseudo_distance=True, pd_window=32,
                       newton_iters=10),
             env.cfg, env.tables,
         )

@@ -88,8 +88,11 @@ class CBFConfig:
     newton_iters: int = 15
     # Windowed pseudo-distance: scan only `pd_window` boundary segments
     # around the agent's closest boundary vertex instead of the whole
-    # polyline (exact for windows covering the stencil neighborhood; lane
-    # geometry keeps the true minimizer well inside a ~±0.6 m window).
+    # polyline. Measured on TPU v5e this is a PESSIMIZATION: the per-agent
+    # window gather (take_along_axis) costs ~34 ms/step at B=1024/N=15 while
+    # the full 176-segment scan is ~5 ms — XLA lowers the variable-offset
+    # gather to slow scalar HBM indexing, whereas the full scan is a dense
+    # VPU sweep. Kept for small-batch/CPU use; leave False on TPU.
     use_windowed_pseudo_distance: bool = False
     pd_window: int = 32
 
