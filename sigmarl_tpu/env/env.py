@@ -125,6 +125,61 @@ class RoadTrafficEnv:
         obs = observe(cfg, tables, state, key)
         return state, obs
 
+    def reset_from_poses(
+        self, key: Array, pos: Array, rot: Array
+    ) -> Tuple[WorldState, Array]:
+        """Real-world (lab) initialization from externally measured poses
+        (reference `WorldStateRTReal.reset` / `_reset_init_state`,
+        `world_state_rt_real.py:15-90`): each agent is matched to the
+        reference path minimizing (100 * perpendicular distance)^2 +
+        |relative yaw at the closest point|, then the standard state
+        pipeline (geometry, short-term window, buffers) runs on the given
+        pose with zero speed/steering.
+
+        Args:
+            pos: [B, N, 2] measured positions; rot: [B, N] measured yaws.
+        """
+        from sigmarl_tpu.env.structs import zero_state
+
+        cfg, tables = self.cfg, self.tables
+        B, N = cfg.batch_dim, cfg.n_agents
+        K = tables.long_term.shape[0]
+
+        from sigmarl_tpu.core import geometry as G
+
+        # Distance and closest-point index of each agent against every
+        # candidate path: broadcast [B, N, 1, 2] vs [K, P, 2].
+        d, idx = G.perpendicular_distances(
+            pos[:, :, None, :], tables.long_term[None, None],
+            jnp.broadcast_to(tables.n_points_long_term[None, None], (B, N, K)),
+        )  # d, idx: [B, N, K]
+        yaw_at = jnp.take_along_axis(
+            jnp.broadcast_to(tables.center_line_yaw[None, None], (B, N, K, tables.center_line_yaw.shape[1])),
+            jnp.maximum(idx - 1, 0)[..., None],
+            axis=-1,
+        )[..., 0]  # [B, N, K]
+        rel_yaw = jnp.abs(
+            (yaw_at - rot[..., None] + jnp.pi) % (2 * jnp.pi) - jnp.pi
+        )
+        cost = (d * 100.0) ** 2 + rel_yaw
+        pid = jnp.argmin(cost, axis=-1).astype(jnp.int32)  # [B, N]
+        point_id = jnp.take_along_axis(idx, pid[..., None], axis=-1)[..., 0]
+
+        state = zero_state(cfg)
+        state = replace_state(
+            state,
+            pos=pos,
+            rot=rot,
+            path_id=pid,
+            point_id=point_id.astype(jnp.int32),
+            scenario_id=jnp.zeros((B, N), jnp.int32),
+        )
+        state = update_geometry(cfg, tables, state)
+        state = update_short_term_paths(cfg, tables, state, at_reset=True)
+        state = push_state_buffer(state)
+        obs = observe(cfg, tables, state, key)
+        return state, obs
+
     def step(
         self, state: WorldState, actions: Array, key: Array
     ) -> Tuple[WorldState, Array, Array, Array, Dict[str, Array]]:
