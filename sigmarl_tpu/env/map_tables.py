@@ -47,6 +47,11 @@ class MapTables:
     n_points_right_b: Array  # [K] int32
     left_boundary_pseudo_vec: Array  # [K, PB, 2] pseudo tangent vectors
     right_boundary_pseudo_vec: Array  # [K, PB, 2]
+    # Precomputed pseudo-distance segment tables (segment frame + tangent
+    # slopes; `safety.pseudo_distance.segment_table`) — the hot-path stencil
+    # evaluates pure arithmetic against these.
+    left_seg: Array  # [K, PB-1, 8]
+    right_seg: Array  # [K, PB-1, 8]
     entry: Array  # [K, 2, 2] entry segment (first boundary points)
     exit: Array  # [K, 2, 2] exit segment (last boundary points)
     is_loop: Array  # [K] bool
@@ -193,6 +198,15 @@ def build_map_tables(
     gid = np.asarray(group_ids, np.int32)
     group_mask = np.stack([gid == g for g in range(4)], axis=0)
 
+    from sigmarl_tpu.safety.pseudo_distance import segment_table
+
+    left_seg = np.asarray(
+        segment_table(jnp.asarray(lb), jnp.asarray(lb_pv), jnp.asarray(n_lb))
+    )
+    right_seg = np.asarray(
+        segment_table(jnp.asarray(rb), jnp.asarray(rb_pv), jnp.asarray(n_rb))
+    )
+
     n_lanelets = len(map_data.lanelets)
     Lc = max(l.center_line.shape[0] for l in map_data.lanelets)
     lanelet_centers = np.stack(
@@ -216,6 +230,8 @@ def build_map_tables(
         n_points_right_b=as_j(n_rb),
         left_boundary_pseudo_vec=as_j(lb_pv),
         right_boundary_pseudo_vec=as_j(rb_pv),
+        left_seg=as_j(left_seg),
+        right_seg=as_j(right_seg),
         entry=as_j(entry),
         exit=as_j(exit_),
         is_loop=as_j(is_loop),

@@ -1,11 +1,16 @@
-"""Observation pipeline, fully vectorized over `[B, N(ego), N(other)]`.
+"""Observation pipeline, fully vectorized over `[B, N(ego), k(neighbor)]`.
 
 Parity port of the reference observation provider
-(`scenarios/observations/observation_provider_rt.py`): ego-view pairwise
-local-frame transforms, top-k nearest-neighbor selection, distance/lanelet
-masking, the full set of ablation switches, and post-concat uniform sensor
-noise. The reference's double Python loop over (ego, other) becomes one
-broadcasted transform; neighbor gathers use `take_along_axis`.
+(`scenarios/observations/observation_provider_rt.py`): ego-view local-frame
+transforms, top-k nearest-neighbor selection, distance/lanelet masking, the
+full set of ablation switches, and post-concat uniform sensor noise.
+
+TPU design: neighbors are selected FIRST (top-k over the distance matrix)
+and only the k selected neighbors' features are gathered — via one-hot
+matmuls on the MXU, not scalar gathers — and ego-transformed. The
+reference's double Python loop over (ego, other) — and round 1's
+[B, N, N, ...] broadcast-transform-then-gather — would do N/k times the
+transform work and pay XLA's slow axis-2 gathers.
 
 Divergence (documented): lanelet determination pads lanelet center lines
 with their last point and masks invalid entries, where the reference
@@ -23,16 +28,26 @@ from sigmarl_tpu.env.structs import EnvConfig, WorldState
 
 Array = jax.Array
 
+_HP = jax.lax.Precision.HIGHEST
+
 
 def _current_lanelets(tables: MapTables, pos: Array) -> Array:
     """Nearest lanelet index per agent by min point distance
-    (reference `map_manager.determine_current_lanelet`). pos: [B, N, 2]."""
+    (reference `map_manager.determine_current_lanelet`). pos: [B, N, 2].
+
+    |p - c|^2 = |p|^2 - 2 p.c + |c|^2: the cross term is one MXU matmul
+    against the flattened lanelet-point table instead of a [B, N, L, Pc, 2]
+    broadcast subtraction.
+    """
+    B, N = pos.shape[:2]
     centers = tables.lanelet_centers  # [L, Pc, 2]
+    L, Pc = centers.shape[:2]
+    flat = centers.reshape(L * Pc, 2)  # [L*Pc, 2]
+    cross = jnp.einsum("bnc,pc->bnp", pos, flat, precision=_HP)  # [B, N, L*Pc]
+    c2 = jnp.sum(flat * flat, axis=-1)  # [L*Pc]
+    d2 = (c2[None, None] - 2.0 * cross).reshape(B, N, L, Pc)
+    pt_idx = jnp.arange(Pc)
     n_pts = tables.n_lanelet_center_points  # [L]
-    d2 = jnp.sum(
-        (pos[:, :, None, None, :] - centers[None, None, :, :, :]) ** 2, axis=-1
-    )  # [B, N, L, Pc]
-    pt_idx = jnp.arange(centers.shape[1])
     d2 = jnp.where(pt_idx[None, None, None, :] < n_pts[None, None, :, None], d2, jnp.inf)
     return jnp.argmin(d2.min(axis=-1), axis=-1)  # [B, N]
 
@@ -45,78 +60,12 @@ def observe(
     pos, rot, vel = state.pos, state.rot, state.vel
 
     # --- normalized scalar channels (reference `update_state:345-396`)
-    d_agents_n = state.d_agents / cfg.norm_distance_lanelet  # [B, N, N]
     d_ref_n = state.d_ref / cfg.norm_distance_lanelet  # [B, N]
     d_left_n = state.d_left.min(-1) / cfg.norm_distance_lanelet  # [B, N]
     d_right_n = state.d_right.min(-1) / cfg.norm_distance_lanelet
     steering_n = G.angle_eliminate_two_pi(state.steering) / cfg.norm_rot  # [B, N]
 
-    if cfg.is_ego_view:
-        # Pairwise ego-frame transforms [B, ego i, other j, ...]: flatten the
-        # (i, j) pair axes and run one broadcasted local-frame transform.
-        def pairwise_local(points_j: Array) -> Array:
-            """points_j: [B, N(j), M, 2] -> ego-frame [B, N(i), N(j), M, 2]."""
-            M = points_j.shape[-2]
-            pts = jnp.broadcast_to(points_j[:, None], (B, N, N, M, 2)).reshape(
-                B * N * N, M, 2
-            )
-            p_i = jnp.broadcast_to(pos[:, :, None, :], (B, N, N, 2)).reshape(-1, 2)
-            r_i = jnp.broadcast_to(rot[:, :, None], (B, N, N)).reshape(-1)
-            out = G.global_to_local(p_i, pts, r_i)
-            return out.reshape(B, N, N, M, 2)
-
-        rel_pos = pairwise_local(pos[:, :, None, :])[..., 0, :]  # [B, i, j, 2]
-        rel_rot = G.angle_eliminate_two_pi(rot[:, None, :] - rot[:, :, None])  # [B,i,j]
-        v_abs_all = jnp.linalg.norm(vel, axis=-1)  # [B, N]
-        rel_vel = jnp.stack(
-            [
-                v_abs_all[:, None, :] * jnp.cos(rel_rot),
-                v_abs_all[:, None, :] * jnp.sin(rel_rot),
-            ],
-            axis=-1,
-        )  # [B, i, j, 2]
-        rel_vertices = pairwise_local(state.vertices[..., 0:4, :])  # [B,i,j,4,2]
-        rel_short_term = pairwise_local(state.short_term)  # [B,i,j,S,2]
-        if not cfg.is_observe_distance_to_boundaries:
-            rel_lb = pairwise_local(state.nearing_left) / cfg.norm_pos
-            rel_rb = pairwise_local(state.nearing_right) / cfg.norm_pos
-
-        pos_feat = rel_pos / cfg.norm_pos
-        rot_feat = rel_rot / cfg.norm_rot
-        vel_feat = rel_vel / cfg.norm_v
-        ref_feat = rel_short_term / cfg.norm_pos
-        vert_feat = rel_vertices / cfg.norm_pos
-    else:
-        # Bird view: global features, broadcast over the ego axis.
-        norm_pos_world = jnp.asarray([cfg.world_x_dim, cfg.world_y_dim])
-        pos_feat = jnp.broadcast_to(
-            (pos / norm_pos_world)[:, None], (B, N, N, 2)
-        )
-        rot_feat = jnp.broadcast_to(
-            (G.angle_eliminate_two_pi(rot) / cfg.norm_rot)[:, None], (B, N, N)
-        )
-        vel_feat = jnp.broadcast_to((vel / cfg.norm_v)[:, None], (B, N, N, 2))
-        ref_feat = jnp.broadcast_to(
-            (state.short_term / norm_pos_world)[:, None],
-            (B, N, N, cfg.n_points_short_term, 2),
-        )
-        vert_feat = jnp.broadcast_to(
-            (state.vertices[..., 0:4, :] / norm_pos_world)[:, None], (B, N, N, 4, 2)
-        )
-        if not cfg.is_observe_distance_to_boundaries:
-            rel_lb = jnp.broadcast_to(
-                (state.nearing_left / norm_pos_world)[:, None],
-                (B, N, N, cfg.n_points_nearing_boundary, 2),
-            )
-            rel_rb = jnp.broadcast_to(
-                (state.nearing_right / norm_pos_world)[:, None],
-                (B, N, N, cfg.n_points_nearing_boundary, 2),
-            )
-
-    lengths_n = jnp.full((B, N), cfg.agent_length / cfg.norm_distance_agent)
-    widths_n = jnp.full((B, N), cfg.agent_width / cfg.norm_distance_agent)
-
-    # --- neighbor selection
+    # --- neighbor selection (before any pairwise feature work)
     k = cfg.n_observed_agents
     if cfg.is_partial_observation:
         neg_d, nearing_idx = jax.lax.top_k(-state.d_agents, k)  # [B, N, k]
@@ -135,35 +84,86 @@ def observe(
             masked = jnp.zeros((B, N, k), bool)
     else:
         nearing_idx = jnp.broadcast_to(jnp.arange(N)[None, None, :], (B, N, N))
+        nearing_dist = state.d_agents
         masked = jnp.zeros((B, N, N), bool)
 
-    def gather_j(feat: Array) -> Array:
-        """Select neighbor features: feat [B, i, j, ...] -> [B, i, k, ...]."""
-        idx = nearing_idx.reshape(B, N, k, *([1] * (feat.ndim - 3)))
-        idx = jnp.broadcast_to(idx, (B, N, k) + feat.shape[3:])
-        return jnp.take_along_axis(feat, idx, axis=2)
+    # One-hot neighbor selector [B, N, k, N]: all gathers become MXU matmuls
+    # (exact: one 1.0 per row, fp32 accumulate).
+    Oj = jax.nn.one_hot(nearing_idx, N, dtype=jnp.float32)
 
-    def gather_flat(feat: Array) -> Array:
-        """Select per-agent features: feat [B, j] -> [B, i, k]."""
-        return jnp.take_along_axis(
-            jnp.broadcast_to(feat[:, None, :], (B, N, N)), nearing_idx, axis=-1
+    def gather_vec(feat: Array) -> Array:
+        """feat [B, N(j), F...] -> selected [B, N(i), k, F...]."""
+        F = feat.shape[2:]
+        out = jnp.einsum(
+            "bikj,bjf->bikf", Oj, feat.reshape(B, N, -1), precision=_HP
         )
+        return out.reshape(B, N, k, *F)
+
+    # Gathered raw neighbor quantities.
+    pos_j = gather_vec(pos)  # [B, N, k, 2]
+    rot_j = gather_vec(rot[..., None])[..., 0]  # [B, N, k]
+    vabs = jnp.linalg.norm(vel, axis=-1)  # [B, N]
+    vabs_j = gather_vec(vabs[..., None])[..., 0]
+    steer_j = gather_vec(steering_n[..., None])[..., 0]
+    vert_j = gather_vec(state.vertices[..., 0:4, :])  # [B, N, k, 4, 2]
+    ref_j = gather_vec(state.short_term)  # [B, N, k, S, 2]
+
+    rel_rot = G.angle_eliminate_two_pi(rot_j - rot[:, :, None])  # [B, N, k]
+    rel_vel = jnp.stack(
+        [vabs_j * jnp.cos(rel_rot), vabs_j * jnp.sin(rel_rot)], axis=-1
+    )  # [B, N, k, 2]
+
+    if cfg.is_ego_view:
+        def ego_local(points: Array) -> Array:
+            """points [B, N, k, M, 2] -> ego-i frame [B, N, k, M, 2]."""
+            return G.global_to_local(
+                jnp.broadcast_to(pos[:, :, None, None, :], points.shape[:3] + (1, 2))[
+                    ..., 0, :
+                ],
+                points,
+                jnp.broadcast_to(rot[:, :, None, None], points.shape[:4])[..., 0],
+            )
+
+        pos_feat = ego_local(pos_j[:, :, :, None, :])[..., 0, :] / cfg.norm_pos
+        rot_feat = rel_rot / cfg.norm_rot
+        vel_feat = rel_vel / cfg.norm_v
+        vert_feat = ego_local(vert_j) / cfg.norm_pos
+        ref_feat = ego_local(ref_j) / cfg.norm_pos
+        # Self features in the ego frame.
+        self_ref = G.global_to_local(pos, state.short_term, rot) / cfg.norm_pos
+        if not cfg.is_observe_distance_to_boundaries:
+            self_lb = G.global_to_local(pos, state.nearing_left, rot) / cfg.norm_pos
+            self_rb = G.global_to_local(pos, state.nearing_right, rot) / cfg.norm_pos
+    else:
+        # Bird view: global features of the selected neighbors.
+        norm_pos_world = jnp.asarray([cfg.world_x_dim, cfg.world_y_dim])
+        pos_feat = pos_j / norm_pos_world
+        rot_feat = G.angle_eliminate_two_pi(rot_j) / cfg.norm_rot
+        vel_feat = gather_vec(vel) / cfg.norm_v
+        vert_feat = vert_j / norm_pos_world
+        ref_feat = ref_j / norm_pos_world
+        self_ref = state.short_term / norm_pos_world
+        if not cfg.is_observe_distance_to_boundaries:
+            self_lb = state.nearing_left / norm_pos_world
+            self_rb = state.nearing_right / norm_pos_world
+
+    lengths_n = cfg.agent_length / cfg.norm_distance_agent
+    widths_n = cfg.agent_width / cfg.norm_distance_agent
 
     def apply_mask(feat: Array, fill: float) -> Array:
         m = masked.reshape(B, N, k, *([1] * (feat.ndim - 3)))
         return jnp.where(m, fill, feat)
 
-    obs_pos_o = apply_mask(gather_j(pos_feat), 1.0)
-    obs_rot_o = apply_mask(gather_j(rot_feat[..., None]), 0.0)[..., 0]
-    obs_vel_o = apply_mask(gather_j(vel_feat), 0.0)
-    obs_ref_o = apply_mask(gather_j(ref_feat), 1.0)
-    obs_vert_o = apply_mask(gather_j(vert_feat), 1.0)
-    obs_len_o = gather_flat(lengths_n)
-    obs_wid_o = gather_flat(widths_n)
-    obs_steer_o = apply_mask(gather_flat(steering_n)[..., None], 0.0)[..., 0]
-    # Distance from ego i to its selected neighbors.
+    obs_pos_o = apply_mask(pos_feat, 1.0)
+    obs_rot_o = apply_mask(rot_feat[..., None], 0.0)[..., 0]
+    obs_vel_o = apply_mask(vel_feat, 0.0)
+    obs_ref_o = apply_mask(ref_feat, 1.0)
+    obs_vert_o = apply_mask(vert_feat, 1.0)
+    obs_len_o = jnp.full((B, N, k), lengths_n)
+    obs_wid_o = jnp.full((B, N, k), widths_n)
+    obs_steer_o = apply_mask(steer_j[..., None], 0.0)[..., 0]
     obs_dist_o = apply_mask(
-        jnp.take_along_axis(d_agents_n, nearing_idx, axis=-1)[..., None], 1.0
+        (nearing_dist / cfg.norm_distance_lanelet)[..., None], 1.0
     )[..., 0]
 
     # --- assemble per-neighbor feature block (order: reference `:818-855`)
@@ -191,26 +191,28 @@ def observe(
     # --- self observation (order: reference `_observe_self:857-925`)
     self_feats = []
     if not cfg.is_ego_view:
-        self_feats.append(pos_feat[:, jnp.arange(N), jnp.arange(N)].reshape(B, N, -1))
-        self_feats.append(rot_feat[:, jnp.arange(N), jnp.arange(N)][..., None])
+        norm_pos_world = jnp.asarray([cfg.world_x_dim, cfg.world_y_dim])
+        self_feats.append(pos / norm_pos_world)
+        self_feats.append(
+            (G.angle_eliminate_two_pi(rot) / cfg.norm_rot)[..., None]
+        )
     if cfg.is_ego_view:
         # Own ego-frame velocity: only the longitudinal component is
         # informative (the lateral one is ~0 by construction).
-        v_abs = jnp.linalg.norm(vel, axis=-1) / cfg.norm_v
-        self_feats.append(v_abs[..., None])
+        self_feats.append((vabs / cfg.norm_v)[..., None])
     else:
         self_feats.append(vel / cfg.norm_v)
     if cfg.is_obs_steering:
         self_feats.append(steering_n[..., None])
-    self_feats.append(ref_feat[:, jnp.arange(N), jnp.arange(N)].reshape(B, N, -1))
+    self_feats.append(self_ref.reshape(B, N, -1))
     if cfg.is_observe_distance_to_center_line:
         self_feats.append(d_ref_n[..., None])
     if cfg.is_observe_distance_to_boundaries:
         self_feats.append(d_left_n[..., None])
         self_feats.append(d_right_n[..., None])
     else:
-        self_feats.append(rel_lb[:, jnp.arange(N), jnp.arange(N)].reshape(B, N, -1))
-        self_feats.append(rel_rb[:, jnp.arange(N), jnp.arange(N)].reshape(B, N, -1))
+        self_feats.append(self_lb.reshape(B, N, -1))
+        self_feats.append(self_rb.reshape(B, N, -1))
     obs_self = jnp.concatenate(self_feats, axis=-1)
 
     obs = jnp.concatenate([obs_self, obs_others], axis=-1)

@@ -46,8 +46,11 @@ def _sample_candidate_paths(
     """Uniformly sample candidate path ids among the scenario group's paths."""
     mask = tables.group_mask[scenario_id]  # [..., K]
     logits = jnp.where(mask, 0.0, -jnp.inf)
-    # Broadcast logits over the candidate axes.
-    logits = jnp.broadcast_to(logits[..., None, :], shape + (tables.group_mask.shape[-1],))
+    # Broadcast logits over the candidate axes (any number of them).
+    K = tables.group_mask.shape[-1]
+    n_new = len(shape) - (logits.ndim - 1)
+    logits = logits.reshape(logits.shape[:-1] + (1,) * n_new + (K,))
+    logits = jnp.broadcast_to(logits, shape + (K,))
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
@@ -95,25 +98,31 @@ def spawn_positions(
     """
     B, N = prev_pos.shape[:2]
     T = cfg.max_spawn_tries
+    K, P = tables.long_term.shape[:2]
+
+    # All candidate draws and table lookups hoisted OUT of the sequential
+    # agent scan: one [B, N, T] sample + one flat gather instead of N
+    # separate gather programs inside the scan body (the scan then carries
+    # only the elementwise feasibility/selection work).
+    k_path, k_point = jax.random.split(key)
+    cand_path = _sample_candidate_paths(
+        cfg, tables, k_path, scenario_id, (B, N, T)
+    )  # [B, N, T]
+    n_pts = tables.n_points_long_term[cand_path]  # [B, N, T]
+    cand_point = _candidate_point_ids(cfg, k_point, n_pts, T)  # [B, N, T]
+    flat_idx = cand_path * P + cand_point
+    cand_pos = tables.long_term.reshape(K * P, 2)[flat_idx]  # [B, N, T, 2]
+    cand_yaw = tables.center_line_yaw.reshape(K * P)[flat_idx]  # [B, N, T]
 
     def per_agent(carry, inputs):
         placed_pos, placed_mask = carry  # [B, N, 2], [B, N] bool
-        n, k = inputs
-        k_path, k_point, k_sel = jax.random.split(k, 3)
-        cand_path = _sample_candidate_paths(
-            cfg, tables, k_path, scenario_id, (B, T)
-        )  # [B, T]
-        n_pts = tables.n_points_long_term[cand_path]  # [B, T]
-        cand_point = _candidate_point_ids(cfg, k_point, n_pts, T)  # [B, T]
-        cand_pos = tables.long_term[cand_path, cand_point]  # [B, T, 2]
+        n, c_pos, c_yaw, c_path, c_point = inputs  # [B, T, ...]
 
         # Feasibility vs already-placed agents (and, for partial resets, vs
         # agents that are not being reset at all).
-        others = placed_pos  # [B, N, 2]
-        others_valid = placed_mask  # [B, N]
-        diff = cand_pos[:, :, None, :] - others[:, None, :, :]  # [B, T, N, 2]
+        diff = c_pos[:, :, None, :] - placed_pos[:, None, :, :]  # [B, T, N, 2]
         dist2 = jnp.sum(diff * diff, axis=-1)
-        dist2 = jnp.where(others_valid[:, None, :], dist2, jnp.inf)
+        dist2 = jnp.where(placed_mask[:, None, :], dist2, jnp.inf)
         min_dist2 = dist2.min(axis=-1)  # [B, T]
         feasible = min_dist2 >= cfg.reset_agent_min_distance**2
 
@@ -122,10 +131,10 @@ def spawn_positions(
         choice = jnp.where(any_feasible, first, T - 1)  # [B]
 
         sel = lambda a: jnp.take_along_axis(a, choice[:, None], axis=1)[:, 0]
-        path_n = sel(cand_path)
-        point_n = sel(cand_point)
-        pos_n = jnp.take_along_axis(cand_pos, choice[:, None, None], axis=1)[:, 0]
-        rot_n = tables.center_line_yaw[path_n, point_n]
+        path_n = sel(c_path)
+        point_n = sel(c_point)
+        rot_n = sel(c_yaw)
+        pos_n = jnp.take_along_axis(c_pos, choice[:, None, None], axis=1)[:, 0]
 
         do = reset_mask[:, n]  # [B]
         pos_n = jnp.where(do[:, None], pos_n, prev_pos[:, n])
@@ -138,9 +147,16 @@ def spawn_positions(
     # other agents, `world_state_rt_sim.py:287-294`).
     init_pos = prev_pos
     init_mask = ~reset_mask
-    keys = jax.random.split(key, N)
     (_, _), (pos_seq, rot_seq, path_seq, point_seq) = jax.lax.scan(
-        per_agent, (init_pos, init_mask), (jnp.arange(N), keys)
+        per_agent,
+        (init_pos, init_mask),
+        (
+            jnp.arange(N),
+            jnp.moveaxis(cand_pos, 1, 0),
+            jnp.moveaxis(cand_yaw, 1, 0),
+            jnp.moveaxis(cand_path, 1, 0),
+            jnp.moveaxis(cand_point, 1, 0),
+        ),
     )
     # scan stacks over agent axis first -> [N, B, ...]; move to [B, N, ...].
     pos = jnp.moveaxis(pos_seq, 0, 1)

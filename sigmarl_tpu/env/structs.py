@@ -295,6 +295,10 @@ class WorldState:
     # Actions (nominal = policy output, applied = post-CBF)
     nominal_action: Array  # [B, N, 2]
     applied_action: Array  # [B, N, 2]
+    # Previous CBF-QP solution (accel, steering rate) — warm-starts the next
+    # step's Newton solve (the reference warm-starts OSQP the same way,
+    # `cbf_qp.py:1223-1231`).
+    cbf_u_prev: Array  # [B, N, 2]
     # CBF-informed reward hooks (written by the safety layer when active)
     rew_near_left_lane: Array  # [B, N]
     rew_near_right_lane: Array  # [B, N]
@@ -344,6 +348,7 @@ def zero_state(cfg: EnvConfig) -> WorldState:
         cb_valid=jnp.zeros((), jnp.int32),
         nominal_action=f((B, N, 2)),
         applied_action=f((B, N, 2)),
+        cbf_u_prev=f((B, N, 2)),
         rew_near_left_lane=f((B, N)),
         rew_near_right_lane=f((B, N)),
         rew_near_other_agents_cbf=f((B, N)),

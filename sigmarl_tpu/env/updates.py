@@ -102,26 +102,40 @@ def update_short_term_paths(
     at reset the nearing-boundary windows use shift +1 instead of -2
     (`world_state_rt.py:512-576`).
     """
-    oh = path_onehot(state.path_id, tables.long_term.shape[0])
-    lt = lookup(oh, tables.long_term)
-    n_lt = lookup(oh, tables.n_points_long_term)
-    is_loop = lookup(oh, tables.is_loop)
-    short_term, _ = G.short_term_reference_path(
-        lt, state.idx_ref, cfg.n_points_short_term, is_loop, n_lt,
-        sample_interval=cfg.sample_interval_ref_path, n_points_shift=1,
+    # Per-agent scalars from the [K]-tables (tiny gathers), then the window
+    # points directly from the [K, P, 2] tables via ONE flat gather per
+    # window — never materializing per-agent [B, N, P, 2] copies.
+    pid = state.path_id
+    n_lt = tables.n_points_long_term[pid]  # [B, N]
+    is_loop = tables.is_loop[pid]
+
+    def window(table: Array, idx: Array, n_points: int, interval: int, shift: int):
+        """Same index math as `G.short_term_reference_path`, gathered from
+        the stacked table."""
+        K, P = table.shape[:2]
+        offsets = jnp.arange(n_points, dtype=jnp.int32) * interval
+        future = offsets + idx[..., None].astype(jnp.int32) + shift
+        n = n_lt[..., None].astype(jnp.int32)
+        wrapped = jnp.where(future >= n - 1, (future + 1) % jnp.maximum(n, 1), future)
+        future = jnp.where(is_loop[..., None], wrapped, future)
+        future = jnp.clip(future, 0, P - 1)
+        flat = pid[..., None] * P + future  # [B, N, n_points]
+        return table.reshape(K * P, 2)[flat]
+
+    short_term = window(
+        tables.long_term, state.idx_ref, cfg.n_points_short_term,
+        cfg.sample_interval_ref_path, 1,
     )
     out = {"short_term": short_term}
     if not cfg.is_observe_distance_to_boundaries:
         shift = 1 if at_reset else -2
-        lb = lookup(oh, tables.left_boundary)
-        rb = lookup(oh, tables.right_boundary)
-        nl, _ = G.short_term_reference_path(
-            lb, state.idx_left, cfg.n_points_nearing_boundary, is_loop, n_lt,
-            sample_interval=1, n_points_shift=shift,
+        nl = window(
+            tables.left_boundary, state.idx_left,
+            cfg.n_points_nearing_boundary, 1, shift,
         )
-        nr, _ = G.short_term_reference_path(
-            rb, state.idx_right, cfg.n_points_nearing_boundary, is_loop, n_lt,
-            sample_interval=1, n_points_shift=shift,
+        nr = window(
+            tables.right_boundary, state.idx_right,
+            cfg.n_points_nearing_boundary, 1, shift,
         )
         out.update(nearing_left=nl, nearing_right=nr)
     return replace_state(state, **out)

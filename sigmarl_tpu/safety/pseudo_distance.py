@@ -87,6 +87,82 @@ def pseudo_distance_to_polyline(
     return dist.min(axis=-1)
 
 
+def segment_table(
+    boundary: Array,  # [..., P, 2]
+    tangents: Array,  # [..., P, 2]
+    n_valid: Array | None = None,  # [...]
+) -> Array:
+    """Precompute per-segment data for `pseudo_distance_seg`: [..., S, 8]
+    rows (pbx, pby, cos_t, sin_t, len, m_b, m_t, valid).
+
+    The per-segment frame rotation and tangent slopes depend only on the
+    map, so they are computed ONCE at map-table build time instead of per
+    step per agent — the hot-path query evaluation becomes pure arithmetic
+    (the round-1 implementation recomputed arctan2/cos/sin over the whole
+    boundary for every agent every step)."""
+    p_b = boundary[..., :-1, :]
+    p_t = boundary[..., 1:, :]
+    t_b = tangents[..., :-1, :]
+    t_t = tangents[..., 1:, :]
+    seg = p_t - p_b
+    seg_len = jnp.linalg.norm(seg, axis=-1)
+    theta = jnp.arctan2(seg[..., 1], seg[..., 0])
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+
+    def to_local(vec_x, vec_y):
+        return (
+            cos_t * vec_x + sin_t * vec_y,
+            -sin_t * vec_x + cos_t * vec_y,
+        )
+
+    tbx, tby = to_local(t_b[..., 0], t_b[..., 1])
+    ttx, tty = to_local(t_t[..., 0], t_t[..., 1])
+    m_b = jnp.where(tbx != 0, tby / jnp.where(tbx != 0, tbx, 1.0), 1e-8)
+    m_t = jnp.where(ttx != 0, tty / jnp.where(ttx != 0, ttx, 1.0), 1e-8)
+
+    valid = seg_len > 1e-9
+    if n_valid is not None:
+        seg_idx = jnp.arange(seg.shape[-2])
+        valid = valid & (seg_idx < (n_valid[..., None] - 1))
+    return jnp.stack(
+        [p_b[..., 0], p_b[..., 1], cos_t, sin_t, seg_len, m_b, m_t,
+         valid.astype(boundary.dtype)],
+        axis=-1,
+    )
+
+
+def pseudo_distance_seg(points: Array, seg: Array) -> Array:
+    """Pseudo distance against a precomputed segment table.
+
+    Args:
+        points: [..., Q, 2] queries; seg: [..., S, 8] from `segment_table`.
+
+    Returns [..., Q]. Same result as `pseudo_distance_to_polyline` on the
+    source boundary/tangents (pinned by tests), with all per-segment
+    trigonometry hoisted out of the evaluation."""
+    pbx = seg[..., None, :, 0]  # [..., 1, S]
+    pby = seg[..., None, :, 1]
+    cos_t = seg[..., None, :, 2]
+    sin_t = seg[..., None, :, 3]
+    l = seg[..., None, :, 4]
+    m_b = seg[..., None, :, 5]
+    m_t = seg[..., None, :, 6]
+    valid = seg[..., None, :, 7] > 0.5
+
+    qx = points[..., :, None, 0]  # [..., Q, 1]
+    qy = points[..., :, None, 1]
+    rx = qx - pbx  # [..., Q, S]
+    ry = qy - pby
+    x = cos_t * rx + sin_t * ry
+    y = -sin_t * rx + cos_t * ry
+    denom = l - y * (m_t - m_b)
+    lam = (x + y * m_b) / denom
+    nx = x - lam * l
+    dist = jnp.sqrt(nx * nx + y * y)
+    ok = valid & (lam >= 0) & (lam < 1)
+    return jnp.where(ok, dist, _BIG).min(axis=-1)
+
+
 def pseudo_distance_windowed(
     points: Array,  # [..., Q, 2]
     boundary: Array,  # [..., P, 2]

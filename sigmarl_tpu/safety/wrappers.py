@@ -38,14 +38,19 @@ def cbf_filtered_step(
     Returns (state', obs, reward, done, info) with CBF diagnostics merged.
     """
     k_cbf, k_env = jax.random.split(key)
-    finfo = cbf.filter_actions(state, rl_actions, k_cbf)
+    finfo = cbf.filter_actions(state, rl_actions, k_cbf, u_init=state.cbf_u_prev)
     if apply_cbf_action:
         applied = finfo.safe_actions
         nominal = finfo.nominal_actions
     else:
         applied = finfo.nominal_actions
         nominal = finfo.safe_actions
-    state = replace_state(state, nominal_action=nominal, applied_action=applied)
+    state = replace_state(
+        state,
+        nominal_action=nominal,
+        applied_action=applied,
+        cbf_u_prev=finfo.u_star,
+    )
     state, obs, reward, done, info = env.step(state, applied, k_env)
     info = dict(info)
     info.update(

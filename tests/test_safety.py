@@ -413,3 +413,33 @@ def test_structured_solver_matches_dense(cbf_env):
         np.asarray(u_dense)[feasible],
         atol=2e-4,
     )
+
+
+def test_pseudo_distance_seg_table_matches_full():
+    """The precomputed-segment-table fast path (`segment_table` +
+    `pseudo_distance_seg`) must agree with the reference-parity
+    `pseudo_distance_to_polyline` on the real CPM boundary tables."""
+    from sigmarl_tpu.config import Parameters
+    from sigmarl_tpu.env import make_env
+    from sigmarl_tpu.safety.pseudo_distance import pseudo_distance_seg
+
+    p = Parameters(
+        scenario_type="cpm_entire", n_agents=2, num_vmas_envs=2, dt=0.1,
+        max_steps=10,
+    )
+    env = make_env(p)
+    t = env.tables
+    key = jax.random.PRNGKey(0)
+    q = jax.random.uniform(key, (5, 40, 2), minval=0.0, maxval=4.5)
+    for tab_seg, tab_b, tab_pv, tab_n in (
+        (t.left_seg, t.left_boundary, t.left_boundary_pseudo_vec, t.n_points_left_b),
+        (t.right_seg, t.right_boundary, t.right_boundary_pseudo_vec, t.n_points_right_b),
+    ):
+        for k in (0, 3, 7):
+            d_full = pseudo_distance_to_polyline(
+                q, tab_b[k][None], tab_pv[k][None], tab_n[k][None]
+            )
+            d_seg = pseudo_distance_seg(q, tab_seg[k][None])
+            np.testing.assert_allclose(
+                np.asarray(d_seg), np.asarray(d_full), atol=1e-6
+            )
