@@ -47,16 +47,15 @@ def main():
         is_using_centralized_cbf=True,
     )
     env = make_env(p)
-    # Warm-started production configuration: 5 Newton iterations from the
-    # previous step's solution + short backtracking ladder reach the same
-    # minimizer as the cold 30-iteration solve (tests/test_warm_start.py).
+    # Warm-started production configuration: 8 Newton iterations from the
+    # previous step's solution reach the cold 30-iteration solve's objective
+    # within 1e-3 relative (certified by tests/test_warm_start.py).
     cbf = CBFSafetyFilter(
         CBFConfig(
             n_agents=N,
             n_circles=3,
             dt=0.1,
-            newton_iters=5,
-            ls_alphas=(1.0, 0.25),
+            newton_iters=8,
         ),
         env.cfg,
         env.tables,

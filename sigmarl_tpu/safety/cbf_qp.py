@@ -86,11 +86,6 @@ class CBFConfig:
     is_obs_noise: bool = False
     obs_noise_level: float = 0.0
     newton_iters: int = 15
-    # Backtracking ladder for the projected-Newton line search. With
-    # cross-step warm starting, (1.0, 0.25) + ~5 iters converges to the same
-    # optimum as the cold default (verified by tests/test_warm_start.py) at
-    # a third of the cost.
-    ls_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.0625)
     # Windowed pseudo-distance: scan only `pd_window` boundary segments
     # around the agent's closest boundary vertex instead of the whole
     # polyline. Measured on TPU v5e this is a PESSIMIZATION: the per-agent
@@ -545,7 +540,7 @@ class CBFSafetyFilter:
 
         u_star, F = solve_structured_qp(
             cons, u_nom, w_u, u_lo, u_hi, n_iters=cfg.newton_iters,
-            u_init=u_init, ls_alphas=cfg.ls_alphas,
+            u_init=u_init,
         )
         solved = jnp.isfinite(F) & jnp.isfinite(u_star).all((-1, -2))
         u_star = jnp.where(solved[:, None, None], u_star, u_nom)

@@ -236,8 +236,20 @@ def solve_boxed_penalty_qp(
 
         u_t = jnp.clip(u + alpha[..., None] * step, u_lo, u_hi)
         F_t, _, _ = F_parts(u_t)
-        take = F_t < F
-        return jnp.where(take[..., None], u_t, u)
+        # Arc-clipped candidates PAST the first bound crossing: capping the
+        # whole step at a_cap makes near-bound coordinates creep toward the
+        # bound geometrically (never reaching it, the round-2 regression);
+        # searching the projected arc lets them clamp exactly while the free
+        # coordinates keep moving.
+        best_u, best_F = u_t, F_t
+        for a_arc in (1.0, 2.0, 4.0):
+            u_a = jnp.clip(u + a_arc * step, u_lo, u_hi)
+            F_a, _, _ = F_parts(u_a)
+            take_a = F_a < best_F
+            best_u = jnp.where(take_a[..., None], u_a, best_u)
+            best_F = jnp.where(take_a, F_a, best_F)
+        take = best_F < F
+        return jnp.where(take[..., None], best_u, u)
 
     u = jnp.clip(u_nom, u_lo, u_hi)
     u = jax.lax.fori_loop(0, n_iters, lambda _, uu: newton_step(uu), u)
@@ -311,7 +323,10 @@ def _chol_solve_blast(H: Array, g: Array, d: int) -> Array:
     cols = []  # cols[j]: L[j:, j], shape [d - j, B]
     sub = H
     for j in range(d):
-        piv = jax.lax.rsqrt(sub[0, 0])  # [B]
+        # Clamp the pivot: fp32 Schur updates with stiff penalty rows
+        # (w_slack up to 3e6) can drive a trailing pivot <= 0, which would
+        # NaN the whole solve and silently disable the filter for that env.
+        piv = jax.lax.rsqrt(jnp.maximum(sub[0, 0], 1e-12))  # [B]
         col = sub[:, 0] * piv[None]  # [d - j, B]
         cols.append(col)
         if j < d - 1:
@@ -346,7 +361,6 @@ def solve_structured_qp(
     n_iters: int = 12,
     ridge: float = 1e-8,
     u_init: Array | None = None,
-    ls_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.0625),
 ) -> Tuple[Array, Array]:
     """Projected damped Newton on the eliminated QP in block-sparse form.
 
@@ -363,8 +377,6 @@ def solve_structured_qp(
 
     `u_init` warm-starts the Newton iteration (e.g. with the previous
     step's solution); the minimizer is unchanged, convergence is faster.
-    `ls_alphas` is the fixed backtracking ladder; warm-started production
-    use can shrink it to (1.0, 0.25).
 
     Returns (u_star [B, N, 2], F(u_star) [B]).
     """
@@ -581,11 +593,23 @@ def solve_structured_qp(
         alpha = jnp.where(g_cap <= 0, a_cap, alpha)  # [B]
 
         u_t = jnp.clip(u + alpha[None, None] * step, lo_c, hi_c)
+        F_t = F_value(u_t)
+        # Arc-clipped candidates PAST the first bound crossing: capping the
+        # whole step at a_cap makes near-bound coordinates creep toward the
+        # bound geometrically (never reaching it, the round-2 regression);
+        # searching the projected arc lets them clamp exactly while the free
+        # coordinates keep moving.
+        best_u, best_F = u_t, F_t
+        for a_arc in (1.0, 2.0, 4.0):
+            u_a = jnp.clip(u + a_arc * step, lo_c, hi_c)
+            F_a = F_value(u_a)
+            take_a = F_a < best_F
+            best_u = jnp.where(take_a[None, None], u_a, best_u)
+            best_F = jnp.where(take_a, F_a, best_F)
         # Safety: never accept an increase (exactness is up to bisection
         # resolution; also guards alpha = 0 fixed points).
-        F_t = F_value(u_t)
-        take = F_t < F
-        return jnp.where(take[None, None], u_t, u)
+        take = best_F < F
+        return jnp.where(take[None, None], best_u, u)
 
     u = jnp.transpose(jnp.clip(u_nom, u_lo, u_hi), (2, 1, 0))  # [2, N, B]
     if u_init is not None:

@@ -1,9 +1,20 @@
 """Cross-step QP warm starting: same minimizer, fewer Newton iterations.
 
 The production configuration (warm start from the previous step's solution,
-5 iterations, short backtracking ladder) must track the fully converged
-cold solve (30 iterations, full ladder) along a rollout — this pins the
-bench configuration's correctness (VERDICT round-1 item 1c).
+8 iterations) must reach the fully converged cold solve (30 iterations)
+along a rollout — this pins the bench configuration's correctness
+(VERDICT round-1 item 1c, round-2 item 1).
+
+Certificate design: for a convex objective the right convergence test is
+the OBJECTIVE gap, not pointwise u agreement — fp32 solves from different
+starting points land up to ~7e-3 apart in near-flat directions (steering
+tracking weight 1 with stiff 3e6 penalty rows leaves directions where the
+objective changes below fp32 resolution; measured against a float64 scipy
+solve, both the warm and the cold fp32 solutions sit ~4e-3 from the true
+optimum in those directions while agreeing in objective to ~1e-6).
+The u tolerance below (2e-2 = 0.2% of the accel range / 0.6% of the
+steering-rate range) bounds that flat-direction slop; the objective-gap
+assert is the actual convergence certificate.
 """
 
 import jax
@@ -12,7 +23,6 @@ import numpy as np
 
 from sigmarl_tpu.config import Parameters
 from sigmarl_tpu.env import make_env
-from sigmarl_tpu.env.structs import replace_state
 from sigmarl_tpu.safety import CBFConfig, CBFSafetyFilter
 from sigmarl_tpu.safety.wrappers import cbf_filtered_step
 
@@ -26,7 +36,7 @@ def test_warm_start_matches_cold_converged():
     )
     env = make_env(p)
     warm = CBFSafetyFilter(
-        CBFConfig(n_agents=N, dt=0.1, newton_iters=5, ls_alphas=(1.0, 0.25)),
+        CBFConfig(n_agents=N, dt=0.1, newton_iters=8),
         env.cfg, env.tables,
     )
     cold = CBFSafetyFilter(
@@ -39,17 +49,37 @@ def test_warm_start_matches_cold_converged():
     step = jax.jit(
         lambda s, k: cbf_filtered_step(env, warm, s, act, k)
     )
-    filt_cold = jax.jit(lambda s: cold.filter_actions(state, act).u_star)
+
+    from sigmarl_tpu.safety.qp import solve_structured_qp
+
+    w_u = jnp.asarray([warm.cfg.w_u_acc, warm.cfg.w_u_steer])
+    lo = jnp.asarray([warm.a_min, warm.rate_min])
+    hi = jnp.asarray([warm.a_max, warm.rate_max])
 
     max_err = 0.0
+    max_gap = 0.0
     for i in range(10):
         info_cold = cold.filter_actions(state, act)
         info_warm = warm.filter_actions(state, act, u_init=state.cbf_u_prev)
         err = float(jnp.abs(info_warm.u_star - info_cold.u_star).max())
         max_err = max(max_err, err)
+        # Objective gap: re-evaluate both solutions under the same
+        # constraint set (0 extra iterations = pure evaluation).
+        cons, u_nom, _, _ = warm.assemble(state, act)
+        _, F_w = solve_structured_qp(
+            cons, u_nom, w_u, lo, hi, n_iters=0, u_init=info_warm.u_star
+        )
+        _, F_c = solve_structured_qp(
+            cons, u_nom, w_u, lo, hi, n_iters=0, u_init=info_cold.u_star
+        )
+        gap = float(((F_w - F_c) / (1.0 + jnp.abs(F_c))).max())
+        max_gap = max(max_gap, gap)
         state, obs, rew, done, info = step(state, jax.random.PRNGKey(i))
-    # Units: accel in [-5, 5] m/s^2, steering rate in [-pi/2, pi/2] rad/s.
-    assert max_err < 5e-3, max_err
+    # Convergence certificate: warm objective within 1e-3 (relative) of the
+    # cold converged objective on every env at every step.
+    assert max_gap < 1e-3, max_gap
+    # Flat-direction slop bound (see module docstring).
+    assert max_err < 2e-2, max_err
     assert bool(jnp.isfinite(state.cbf_u_prev).all())
     # The warm-start field actually carries the previous solution.
     assert float(jnp.abs(state.cbf_u_prev).max()) > 0.0
