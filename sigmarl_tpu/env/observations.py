@@ -167,26 +167,31 @@ def observe(
     )[..., 0]
 
     # --- assemble per-neighbor feature block (order: reference `:818-855`)
-    feats = []
-    if cfg.is_observe_vertices:
-        feats.append(obs_vert_o.reshape(B, N, k, -1))
+    if k == 0:
+        # Single-agent env: no neighbors to observe (reshape(-1) on a
+        # zero-size block is ill-defined).
+        obs_others = jnp.zeros((B, N, 0))
     else:
-        feats.extend(
-            [
-                obs_pos_o.reshape(B, N, k, -1),
-                obs_rot_o[..., None],
-                obs_len_o[..., None],
-                obs_wid_o[..., None],
-            ]
-        )
-    feats.append(obs_vel_o.reshape(B, N, k, -1))
-    if cfg.is_obs_steering:
-        feats.append(obs_steer_o[..., None])
-    if cfg.is_observe_distance_to_agents:
-        feats.append(obs_dist_o[..., None])
-    if cfg.is_observe_ref_path_other_agents:
-        feats.append(obs_ref_o.reshape(B, N, k, -1))
-    obs_others = jnp.concatenate(feats, axis=-1).reshape(B, N, -1)
+        feats = []
+        if cfg.is_observe_vertices:
+            feats.append(obs_vert_o.reshape(B, N, k, -1))
+        else:
+            feats.extend(
+                [
+                    obs_pos_o.reshape(B, N, k, -1),
+                    obs_rot_o[..., None],
+                    obs_len_o[..., None],
+                    obs_wid_o[..., None],
+                ]
+            )
+        feats.append(obs_vel_o.reshape(B, N, k, -1))
+        if cfg.is_obs_steering:
+            feats.append(obs_steer_o[..., None])
+        if cfg.is_observe_distance_to_agents:
+            feats.append(obs_dist_o[..., None])
+        if cfg.is_observe_ref_path_other_agents:
+            feats.append(obs_ref_o.reshape(B, N, k, -1))
+        obs_others = jnp.concatenate(feats, axis=-1).reshape(B, N, -1)
 
     # --- self observation (order: reference `_observe_self:857-925`)
     self_feats = []

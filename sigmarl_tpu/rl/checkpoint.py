@@ -96,6 +96,23 @@ class RewardKeyedCheckpointer:
             json.dump(self._sidecar(reward_history), f)
 
 
+def load_sidecar(parameters: Parameters) -> Optional[Dict]:
+    """Load the JSON sidecar matching the checkpoint `load_best` would pick
+    (used by continue-training to restore the best reward + history)."""
+    d = model_dir(parameters)
+    if parameters.is_load_final_model:
+        path = os.path.join(d, "final_data.json")
+    else:
+        best = find_highest_reward(d)
+        if best is None:
+            return None
+        path = os.path.join(d, f"reward{best:.2f}_data.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def load_best(parameters: Parameters) -> Dict[str, Any]:
     """Load the best (or final) checkpoint per the load flags
     (reference `mappo_cavs.py:219-307`)."""

@@ -189,6 +189,30 @@ class MAPPOCAVs:
             optax.clip_by_global_norm(parameters.max_grad_norm),
             optax.adam(learning_rate=lr_schedule),
         )
+
+        # Continue-training restore (reference `mappo_cavs.py:219-307`):
+        # load policy+critic from the checkpoint dir and keep optimizing.
+        # The reference rebuilds its optimizer after the load (fresh Adam
+        # moments) — matched here by initializing opt_state from the
+        # restored params below. The sidecar's best reward and reward
+        # history are restored so reward-keyed retention continues from
+        # where the previous run stopped.
+        self._restored_history: list = []
+        if parameters.is_continue_train and parameters.is_load_model:
+            loaded = ckpt.load_best(parameters)
+            self.policy_params = jax.tree.map(jnp.asarray, loaded["policy"])
+            self.critic_params = jax.tree.map(jnp.asarray, loaded["critic"])
+            side = ckpt.load_sidecar(parameters)
+            if side is not None:
+                self._restored_history = list(
+                    side.get("episode_reward_mean_list", [])
+                )
+                best = side.get("parameters", {}).get(
+                    "episode_reward_intermediate"
+                )
+                if best is not None:
+                    parameters.episode_reward_intermediate = float(best)
+
         both = {"policy": self.policy_params, "critic": self.critic_params}
         if self.prio_policy_params is not None:
             both["prio_policy"] = self.prio_policy_params
@@ -518,7 +542,7 @@ class MAPPOCAVs:
         )
 
         saver = ckpt.RewardKeyedCheckpointer(p)
-        reward_history = []
+        reward_history = list(self._restored_history)
         t_start = time.time()
         for i in range(p.n_iters):
             state, metrics = self._train_iteration(state)

@@ -86,6 +86,15 @@ class CBFConfig:
     is_obs_noise: bool = False
     obs_noise_level: float = 0.0
     newton_iters: int = 15
+    # Reference-parity mode for the control-deviation harness: the reference
+    # pseudo-distance rounds every distance to float16
+    # (`/root/reference/sigmarl/pseudo_distance.py:118`) and its stencil
+    # gradient/Hessian chain then runs in numpy float16 scalar arithmetic
+    # (NEP-50). Production keeps full fp32 precision (strictly better); this
+    # flag replicates the reference quantization so the parity test can
+    # certify the remaining deviation <= 1e-3. fp16 rounding is monotone so
+    # it commutes with the segment min — rounding after the min is exact.
+    fp16_parity: bool = False
     # Windowed pseudo-distance: scan only `pd_window` boundary segments
     # around the agent's closest boundary vertex instead of the whole
     # polyline. Measured on TPU v5e this is a PESSIMIZATION: the per-agent
@@ -236,6 +245,11 @@ class CBFSafetyFilter:
             d_right = pseudo_distance_seg(q, rseg).reshape(B, N, C, 9)
 
         def grads(d):
+            if cfg.fp16_parity:
+                # Replicate the reference's float16 pipeline (see CBFConfig):
+                # the whole finite-difference chain runs in fp16, promoted
+                # back only at the end (as numpy NEP-50 scalar math does).
+                d = d.astype(jnp.float16)
             d0 = d[..., 0]
             # Forward differences for the gradient, central for the Hessian
             # (matches the reference exactly, `:621-645`).
@@ -250,7 +264,16 @@ class CBFSafetyFilter:
             hess = jnp.stack(
                 [jnp.stack([hxx, hxy], -1), jnp.stack([hxy, hyy], -1)], axis=-2
             )
-            return d0 - self.approx.radius, grad, hess
+            if cfg.fp16_parity:
+                # The reference's circle radius is an np.float64 scalar, so
+                # its `sm = d - radius` PROMOTES out of fp16 (NEP-50 strong
+                # scalar) — subtract after the upcast, don't round again.
+                f = centers.dtype
+                grad, hess = grad.astype(f), hess.astype(f)
+                sm = d0.astype(f) - self.approx.radius
+            else:
+                sm = d0 - self.approx.radius
+            return sm, grad, hess
 
         return grads(d_left), grads(d_right)
 
@@ -558,8 +581,13 @@ class CBFSafetyFilter:
             + cons.b_p
             + jnp.maximum(cons.h_p, 0.0)
         )
-        viol_s = jnp.where(cons.valid_s, jnp.maximum(0.0, -r_s), 0.0).max((-1, -2))
-        viol_p = jnp.where(cons.valid_p, jnp.maximum(0.0, -r_p), 0.0).max((-1, -2))
+        viol_s = jnp.where(cons.valid_s, jnp.maximum(0.0, -r_s), 0.0).max(
+            (-1, -2), initial=0.0
+        )
+        # initial= keeps the reductions defined for N=1 (zero pair rows).
+        viol_p = jnp.where(cons.valid_p, jnp.maximum(0.0, -r_p), 0.0).max(
+            (-1, -2), initial=0.0
+        )
         viol = jnp.maximum(viol_s, viol_p)
 
         safe_actions = self.u_to_rl_action(u_star, state.speed, state.steering)
@@ -610,14 +638,19 @@ class CBFSafetyFilter:
             + aux["pair_h"] * lam
         )
         P = self._pair_i.shape[0]
-        g_pair = g_pair.min(-1)  # [B, P]
+        g_pair = g_pair.min(-1, initial=1e9)  # [B, P]
         g_pair_neg = jnp.minimum(g_pair, 0.0)
         # Worst (most negative) pair margin touching each agent.
+        # initial= keeps the reductions defined for N=1 (zero pairs).
         ei = jax.nn.one_hot(self._pair_i, N)  # [P, N]
         ej = jax.nn.one_hot(self._pair_j, N)
         big = 1e9
-        g_i = jnp.where(ei[None] > 0, g_pair_neg[:, :, None], big).min(1)  # [B, N]
-        g_j = jnp.where(ej[None] > 0, g_pair_neg[:, :, None], big).min(1)
+        g_i = jnp.where(ei[None] > 0, g_pair_neg[:, :, None], big).min(
+            1, initial=big
+        )  # [B, N]
+        g_j = jnp.where(ej[None] > 0, g_pair_neg[:, :, None], big).min(
+            1, initial=big
+        )
         v_pair = jnp.minimum(jnp.minimum(g_i, g_j), 0.0)
 
         def to_reward(v):

@@ -361,6 +361,7 @@ def solve_structured_qp(
     n_iters: int = 12,
     ridge: float = 1e-8,
     u_init: Array | None = None,
+    ws_cap: float = 3e6,
 ) -> Tuple[Array, Array]:
     """Projected damped Newton on the eliminated QP in block-sparse form.
 
@@ -387,7 +388,10 @@ def solve_structured_qp(
     Kp = cons.A_pi.shape[2]
     Ms, Mp = N * Ks, P * Kp
     M = Ms + Mp
-    cons = _normalize_structured(cons, ws_cap=3e6)
+    # ws_cap bounds the slack stiffness after row normalization: 3e6 keeps
+    # fp32 penalty-gradient noise bounded (see solve_boxed_penalty_qp);
+    # float64 parity runs can lift it to the reference's uncapped 1e9.
+    cons = _normalize_structured(cons, ws_cap=ws_cap)
 
     # ---- flatten rows batch-last: [M, B], single rows first then pair rows.
     def flat(x_s, x_p):

@@ -170,3 +170,46 @@ def test_cbf_module_learns_scores():
     leaf0 = jax.tree.leaves(state.policy_params)[0]
     leaf1 = jax.tree.leaves(new_state.policy_params)[0]
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_continue_train(tmp_path):
+    """is_continue_train restores policy/critic (+ best-reward bookkeeping)
+    and resumes optimization (reference `mappo_cavs.py:219-307`)."""
+    import jax
+
+    common = dict(
+        scenario_type="cpm_mixed", n_agents=4, num_vmas_envs=8, dt=0.1,
+        max_steps=32, num_epochs=2, minibatch_size=64,
+        is_use_mtv_distance=False, where_to_save=str(tmp_path) + "/",
+        random_seed=0,
+    )
+    p1 = Parameters(n_iters=2, **common)
+    t1 = MAPPOCAVs(p1)
+    t1.train()
+    final1 = jax.tree.leaves(t1._final_state.policy_params)
+    hist1 = list(t1._reward_history)
+
+    from sigmarl_tpu.rl import checkpoint as ckpt
+
+    p2 = Parameters(
+        n_iters=1, is_continue_train=True, is_load_model=True,
+        is_load_final_model=True, model_name=p1.model_name, **common,
+    )
+    t2 = MAPPOCAVs(p2)
+    # Restored start params equal run 1's final checkpoint, not a fresh init.
+    loaded = ckpt.load_best(p2)
+    for a, b in zip(jax.tree.leaves(t2.policy_params), jax.tree.leaves(loaded["policy"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Reward history resumes from the saved sidecar.
+    assert t2._restored_history == hist1
+
+    t2.train()
+    assert len(t2._reward_history) == len(hist1) + 1
+    # Training actually moved the parameters (optimization continued).
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(t2._final_state.policy_params), final1
+        )
+    )
+    assert moved
