@@ -55,6 +55,14 @@ class Parameters:
     n_points_short_term: int = 3
     is_partial_observation: bool = True
     n_nearing_agents_observed: int = 2
+    # Observation feature history (reference `n_stored_steps` /
+    # `n_observed_steps`, both defaulting to 1)
+    n_stored_steps: int = 1
+    n_observed_steps: int = 1
+    # Debug-mode numerics guards (reference inline asserts
+    # `road_traffic.py:1245-1246`, `mappo_cavs.py:419`): enables
+    # jax_debug_nans + in-graph finiteness checks on rewards and losses.
+    debug_numerics: bool = False
 
     # Ablation switches
     is_ego_view: bool = True

@@ -30,7 +30,7 @@ import numpy as np
 from sigmarl_tpu.config import Parameters
 from sigmarl_tpu.core.dynamics import BicycleParams, command_step
 from sigmarl_tpu.env.map_tables import MapTables, build_map_tables
-from sigmarl_tpu.env.observations import observe
+from sigmarl_tpu.env.observations import observe, observe_with_history
 from sigmarl_tpu.env.reset import apply_reset, initial_state
 from sigmarl_tpu.env.rewards import compute_rewards
 from sigmarl_tpu.env.structs import EnvConfig, WorldState, replace_state
@@ -82,7 +82,9 @@ class RoadTrafficEnv:
         """Fresh episode state + initial observation."""
         k_state, k_obs = jax.random.split(key)
         state = initial_state(self.cfg, self.tables, k_state)
-        obs = observe(self.cfg, self.tables, state, k_obs)
+        obs, state = observe_with_history(
+            self.cfg, self.tables, state, k_obs, full_reset=True
+        )
         return state, obs
 
     def reset_predefined(
@@ -122,7 +124,9 @@ class RoadTrafficEnv:
         state = update_geometry(cfg, tables, state)
         state = update_short_term_paths(cfg, tables, state, at_reset=True)
         state = push_state_buffer(state)
-        obs = observe(cfg, tables, state, key)
+        obs, state = observe_with_history(
+            cfg, tables, state, key, full_reset=True
+        )
         return state, obs
 
     def reset_from_poses(
@@ -177,7 +181,9 @@ class RoadTrafficEnv:
         state = update_geometry(cfg, tables, state)
         state = update_short_term_paths(cfg, tables, state, at_reset=True)
         state = push_state_buffer(state)
-        obs = observe(cfg, tables, state, key)
+        obs, state = observe_with_history(
+            cfg, tables, state, key, full_reset=True
+        )
         return state, obs
 
     def step(
@@ -220,6 +226,11 @@ class RoadTrafficEnv:
         reward, rew_info = compute_rewards(
             cfg, state, prev_pos, prev_short_term, self.weighting_ref
         )
+        if cfg.debug_numerics:
+            # Reference asserts reward finiteness (`road_traffic.py:1245`).
+            from sigmarl_tpu.utils.debug import assert_finite
+
+            assert_finite(reward, "reward")
 
         # 4. record + refresh windows
         state = push_state_buffer(state)
@@ -255,8 +266,11 @@ class RoadTrafficEnv:
             state,
         )
 
-        # 6. observation of the (possibly reset) state
-        obs = observe(cfg, tables, state, k_obs)
+        # 6. observation of the (possibly reset) state; history slots of
+        # freshly reset agents are refilled with the new episode's features.
+        obs, state = observe_with_history(
+            cfg, tables, state, k_obs, reset_mask=reset_mask
+        )
         return state, obs, reward, done, info
 
     # ------------------------------------------------------------- internals
@@ -342,6 +356,10 @@ def make_env(parameters: Parameters) -> RoadTrafficEnv:
     import dataclasses
 
     cfg = EnvConfig.from_parameters(parameters)
+    if parameters.debug_numerics:
+        from sigmarl_tpu.utils.debug import enable_debug_numerics
+
+        enable_debug_numerics()
     map_data = load_map(parameters.scenario_type, lane_width=parameters.lane_width)
     cfg = dataclasses.replace(
         cfg, has_lanelet_neighbors=len(map_data.neighboring_lanelets_idx) > 0

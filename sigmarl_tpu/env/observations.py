@@ -52,10 +52,11 @@ def _current_lanelets(tables: MapTables, pos: Array) -> Array:
     return jnp.argmin(d2.min(axis=-1), axis=-1)  # [B, N]
 
 
-def observe(
+def observe_core(
     cfg: EnvConfig, tables: MapTables, state: WorldState, key: Array
 ) -> Array:
-    """Build the per-agent observation vector. Returns [B, N, obs_dim]."""
+    """Build the single-step per-agent feature vector (pre-padding,
+    pre-noise). Returns [B, N, obs_core_dim]."""
     B, N = state.pos.shape[:2]
     pos, rot, vel = state.pos, state.rot, state.vel
 
@@ -220,8 +221,13 @@ def observe(
         self_feats.append(self_rb.reshape(B, N, -1))
     obs_self = jnp.concatenate(self_feats, axis=-1)
 
-    obs = jnp.concatenate([obs_self, obs_others], axis=-1)
+    return jnp.concatenate([obs_self, obs_others], axis=-1)
 
+
+def _finalize(cfg: EnvConfig, obs: Array, key: Array) -> Array:
+    """Opponent-modeling zero-pad + post-concat uniform sensor noise
+    (reference `get_observation:594-620`)."""
+    B, N = obs.shape[:2]
     if cfg.is_using_opponent_modeling:
         pad = jnp.zeros((B, N, cfg.n_nearing_agents_observed * cfg.n_actions))
         obs = jnp.concatenate([obs, pad], axis=-1)
@@ -233,3 +239,63 @@ def observe(
         obs = obs + cfg.obs_noise_level * jax.random.uniform(key, obs.shape)
 
     return obs
+
+
+def observe(
+    cfg: EnvConfig, tables: MapTables, state: WorldState, key: Array
+) -> Array:
+    """Single-shot observation (no history threading): the n_observed_steps=1
+    fast path. With history enabled, callers use `observe_with_history`."""
+    obs = observe_core(cfg, tables, state, key)
+    if cfg.n_observed_steps > 1:
+        # Without a threaded history the current features stand in for every
+        # observed step (the exact post-reset semantics of the history path).
+        obs = jnp.concatenate([obs] * cfg.n_observed_steps, axis=-1)
+    return _finalize(cfg, obs, key)
+
+
+def observe_with_history(
+    cfg: EnvConfig,
+    tables: MapTables,
+    state: WorldState,
+    key: Array,
+    reset_mask: Array | None = None,
+    full_reset: bool = False,
+):
+    """Observation with feature history (capability parity with the
+    reference's per-feature `CircularBuffer`s and `n_observed_steps`,
+    `observation_provider_rt.py:100-339` — which the reference allocates
+    but, as shipped, only ever reads at depth 1 via `get_latest()`; its
+    `n_observed_steps` defaults to 1, `road_traffic.py:284-285`).
+
+    The history is a rolled array [n_stored_steps, B, N, F] carried in
+    `state.obs_history` (newest slot first); the observation concatenates
+    the newest `n_observed_steps` slots feature-blocks, newest first. On
+    (partial) reset the affected agents' history slots are refilled with
+    the current features, so n=1 semantics are exactly preserved and n>1
+    never mixes pre/post-reset episodes.
+
+    Returns (obs [B, N, obs_dim], state' with the rolled history).
+    """
+    from sigmarl_tpu.env.structs import replace_state
+
+    core = observe_core(cfg, tables, state, key)  # [B, N, F]
+    H = cfg.n_stored_steps
+    if H <= 1:
+        obs = core
+        if cfg.n_observed_steps > 1:
+            obs = jnp.concatenate([obs] * cfg.n_observed_steps, axis=-1)
+        return _finalize(cfg, obs, key), state
+
+    if full_reset:
+        hist = jnp.broadcast_to(core[None], (H, *core.shape))
+    else:
+        hist = jnp.concatenate([core[None], state.obs_history[:-1]], axis=0)
+        if reset_mask is not None:
+            m = reset_mask[None, :, :, None]  # [1, B, N, 1]
+            hist = jnp.where(m, core[None], hist)
+
+    n_obs = cfg.n_observed_steps
+    window = hist[:n_obs]  # [n_obs, B, N, F] newest first
+    obs = jnp.moveaxis(window, 0, 2).reshape(*core.shape[:2], -1)
+    return _finalize(cfg, obs, key), replace_state(state, obs_history=hist)

@@ -242,7 +242,9 @@ def apply_reset(
     )
 
     # Refresh derived state for all agents (vector-land: same cost as one).
-    state = update_geometry(cfg, tables, state)
+    # Collisions are skipped: the flags are cleared for reset envs below
+    # and provably unchanged for the others (their state didn't move).
+    state = update_geometry(cfg, tables, state, skip_collisions=True)
     state = update_short_term_paths(cfg, tables, state, at_reset=True)
 
     # Envs with any reset clear their collision flags

@@ -91,6 +91,11 @@ class EnvConfig:
     is_observe_distance_to_center_line: bool = True
     is_observe_ref_path_other_agents: bool = False
     is_obs_steering: bool = False
+    # Observation feature history (reference `n_stored_steps` /
+    # `n_observed_steps` CircularBuffers, `observation_provider_rt.py:100-339`;
+    # the reference defaults both to 1 and only ever reads depth 1).
+    n_stored_steps: int = 1
+    n_observed_steps: int = 1
     is_obs_noise: bool = True
     obs_noise_level: float = 0.2 * AGENTS["width"]
     is_using_opponent_modeling: bool = False
@@ -109,6 +114,7 @@ class EnvConfig:
     # Whether the loaded map defines lanelet adjacency (set by make_env;
     # enables lanelet-based masking under is_apply_mask)
     has_lanelet_neighbors: bool = False
+    debug_numerics: bool = False
     # CBF coupling (reward-from-margins written by the safety layer)
     is_using_cbf: bool = False
     is_solve_qp: bool = True
@@ -161,8 +167,13 @@ class EnvConfig:
         return d
 
     @property
+    def obs_core_dim(self) -> int:
+        """Single-step feature width (one history slot)."""
+        return self.obs_self_dim + self.n_observed_agents * self.obs_others_dim
+
+    @property
     def obs_dim(self) -> int:
-        d = self.obs_self_dim + self.n_observed_agents * self.obs_others_dim
+        d = self.obs_core_dim * self.n_observed_steps
         if self.is_using_opponent_modeling:
             d += self.n_nearing_agents_observed * self.n_actions
         return d
@@ -229,6 +240,9 @@ class EnvConfig:
             is_observe_distance_to_center_line=p.is_observe_distance_to_center_line,
             is_observe_ref_path_other_agents=p.is_observe_ref_path_other_agents,
             is_obs_steering=p.is_obs_steering,
+            n_stored_steps=max(p.n_stored_steps, p.n_observed_steps),
+            n_observed_steps=p.n_observed_steps,
+            debug_numerics=p.debug_numerics,
             is_obs_noise=p.is_obs_noise,
             obs_noise_level=p.obs_noise_level
             if p.obs_noise_level is not None
@@ -285,6 +299,9 @@ class WorldState:
     coll_exit: Array  # [B, N] bool
     # Step bookkeeping
     step: Array  # [B] int32
+    # Observation feature history, newest slot first ([0] when
+    # n_stored_steps == 1 — the fast path carries no history).
+    obs_history: Array  # [n_stored_steps or 0, B, N, obs_core_dim]
     state_buffer: Array  # [n_stored, B, N, 8] circular ([x,y,rot,vx,vy,scn,path,pt])
     sb_pointer: Array  # [] int32
     # Challenging initial-state buffer (global circular buffer of pre-collision
@@ -346,6 +363,8 @@ def zero_state(cfg: EnvConfig) -> WorldState:
         challenge_buffer=f((cfg.challenge_buffer_size, N, 8)),
         cb_pointer=jnp.zeros((), jnp.int32),
         cb_valid=jnp.zeros((), jnp.int32),
+        obs_history=f((cfg.n_stored_steps if cfg.n_stored_steps > 1 else 0,
+                       B, N, cfg.obs_core_dim)),
         nominal_action=f((B, N, 2)),
         applied_action=f((B, N, 2)),
         cbf_u_prev=f((B, N, 2)),

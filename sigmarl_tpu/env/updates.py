@@ -18,7 +18,12 @@ from sigmarl_tpu.env.structs import EnvConfig, WorldState, replace_state
 Array = jax.Array
 
 
-def update_geometry(cfg: EnvConfig, tables: MapTables, state: WorldState) -> WorldState:
+def update_geometry(
+    cfg: EnvConfig,
+    tables: MapTables,
+    state: WorldState,
+    skip_collisions: bool = False,
+) -> WorldState:
     """Recompute vertices, boundary/reference distances, mutual distances and
     collision matrices from the current kinematic state.
 
@@ -28,6 +33,10 @@ def update_geometry(cfg: EnvConfig, tables: MapTables, state: WorldState) -> Wor
     vertices (the reference's agent-0 pass reads one-step-stale vertices),
     and entry/exit crossing is masked per-env by the path's loop flag
     (the reference skips the check for all envs if any env's path loops).
+
+    `skip_collisions` keeps the existing collision flags (the reset path
+    uses this: post-reset flags are cleared for reset envs and unchanged
+    for the rest, so the five interX sweeps there are provably redundant).
     """
     pos, rot = state.pos, state.rot
     verts = G.rectangle_vertices(pos, rot, cfg.agent_width, cfg.agent_length, True)
@@ -58,21 +67,27 @@ def update_geometry(cfg: EnvConfig, tables: MapTables, state: WorldState) -> Wor
     d_right = jnp.concatenate([(dr0 - half_w)[..., None], drv], axis=-1)
     d_boundary = jnp.minimum(d_left.min(-1), d_right.min(-1))
 
-    # Agent-agent collisions.
-    if cfg.distance_type == "c2c":
-        pair_hit = G.interx(verts[:, :, None], verts[:, None, :])  # [B, N, N]
-        eye = jnp.eye(cfg.n_agents, dtype=bool)
-        coll_agents = pair_hit & ~eye
+    if skip_collisions:
+        coll_agents = state.coll_agents
+        coll_lanelets = state.coll_lanelets
+        coll_entry = state.coll_entry
+        coll_exit = state.coll_exit
     else:
-        coll_agents = d_agents <= 0.0
+        # Agent-agent collisions.
+        if cfg.distance_type == "c2c":
+            pair_hit = G.interx(verts[:, :, None], verts[:, None, :])  # [B, N, N]
+            eye = jnp.eye(cfg.n_agents, dtype=bool)
+            coll_agents = pair_hit & ~eye
+        else:
+            coll_agents = d_agents <= 0.0
 
-    # Agent-boundary collisions.
-    coll_lanelets = G.interx(verts, lb) | G.interx(verts, rb)
+        # Agent-boundary collisions.
+        coll_lanelets = G.interx(verts, lb) | G.interx(verts, rb)
 
-    # Entry/exit segment crossings (meaningful for non-loop paths only).
-    not_loop = ~lookup(oh, tables.is_loop)
-    coll_entry = G.interx(verts, lookup(oh, tables.entry)) & not_loop
-    coll_exit = G.interx(verts, lookup(oh, tables.exit)) & not_loop
+        # Entry/exit segment crossings (meaningful for non-loop paths only).
+        not_loop = ~lookup(oh, tables.is_loop)
+        coll_entry = G.interx(verts, lookup(oh, tables.entry)) & not_loop
+        coll_exit = G.interx(verts, lookup(oh, tables.exit)) & not_loop
 
     return replace_state(
         state,

@@ -27,13 +27,25 @@ def basic_metrics(record: Dict[str, np.ndarray]) -> Dict[str, float]:
     d_ref = np.asarray(record["distance_ref"])  # [T, B, N]
 
     speed = np.linalg.norm(vel, axis=-1)
-    return {
+    out = {
         "collision_rate_agents": float(coll_agents.any(-1).mean()),
         "collision_rate_lanelets": float(coll_lanelets.any(-1).mean()),
         "collision_rate_total": float((coll_agents | coll_lanelets).any(-1).mean()),
         "center_line_deviation_mean": float(d_ref.mean()),
         "average_speed": float(speed.mean()),
     }
+    if "cbf_infeasible" in record:
+        # Explicit QP-infeasibility rate (reference `evaluation_itsc25.py:565`):
+        # share of (step, env) solves whose converged solution still
+        # penetrates a CBF constraint beyond tolerance — see
+        # CBFConfig.infeasibility_tol for the solver-status mapping.
+        out["qp_infeasibility_rate"] = float(
+            np.asarray(record["cbf_infeasible"], bool).mean()
+        )
+        out["qp_unsolved_rate"] = float(
+            (~np.asarray(record["cbf_solved"], bool)).mean()
+        )
+    return out
 
 
 def debounced_collision_events(

@@ -35,6 +35,9 @@ def itsc24_observation_ablation(
     import jax
     import jax.numpy as jnp
 
+    from sigmarl_tpu.rl import MAPPOCAVs
+    from sigmarl_tpu.rl.networks import tanh_normal_mode
+
     designs = {
         "M0_full": {},
         "M1_bird_view": {"is_ego_view": False},
@@ -43,24 +46,42 @@ def itsc24_observation_ablation(
         "M4_boundary_points": {"is_observe_distance_to_boundaries": False},
         "M5_no_center_line_distance": {"is_observe_distance_to_center_line": False},
     }
+    n_iters, n_train_envs, epochs, mb = 15, 32, 10, 256
     if quick:
         n_sims, max_steps = 4, 48
+        n_iters, n_train_envs, epochs, mb = 1, 8, 2, 64
 
     results = {}
     for scenario in scenarios:
         for name, kw in designs.items():
+            # Train the variant (the reference evaluates per-design trained
+            # models, `evaluation_itsc24.py:84-105`); training length is a
+            # compute knob, the protocol is the point.
+            p_train = Parameters(
+                scenario_type=scenario, n_agents=4, num_vmas_envs=n_train_envs,
+                dt=0.1, max_steps=32 if quick else 128, n_iters=n_iters,
+                num_epochs=epochs, minibatch_size=mb,
+                is_use_mtv_distance=False, is_obs_noise=False,
+                where_to_save=out_dir + "/train/",
+                model_name=f"{scenario}_{name}", **kw,
+            )
+            trainer = MAPPOCAVs(p_train)
+            trainer.train()
+            policy_net = trainer.policy_net
+            params = trainer._final_state.policy_params
+
             p = Parameters(
                 scenario_type=scenario, n_agents=4, num_vmas_envs=n_sims, dt=0.1,
                 max_steps=max_steps, is_use_mtv_distance=False, is_obs_noise=False,
                 is_testing_mode=True, **kw,
             )
             env = make_env(p)
+            low, high = -env.action_limits, env.action_limits
 
-            def policy_fn(obs, key, env=env):
-                # Scripted lane-following stand-in exercises the observation
-                # design end-to-end; plug trained checkpoints via Evaluation
-                # for the full paper protocol.
-                return jnp.zeros((n_sims, 4, 2)).at[..., 0].set(0.5)
+            def policy_fn(obs, key, policy_net=policy_net, params=params,
+                          low=low, high=high):
+                loc, _ = policy_net.apply(params, obs)
+                return tanh_normal_mode(loc, low, high)
 
             record, timings = rollout(env, policy_fn, max_steps, jax.random.PRNGKey(0))
             res = M.basic_metrics(record)
@@ -228,6 +249,131 @@ def itsc26_reward_sweep(quick: bool = False, out_dir: str = "outputs/itsc26") ->
     return results
 
 
+def robust_stats(vals: np.ndarray) -> Dict[str, float]:
+    """Summary statistics over finite values (reference
+    `evaluation_itsc26.py:317-341`)."""
+    vals = np.asarray(vals, float)
+    vals = vals[np.isfinite(vals)]
+    if vals.size == 0:
+        return {k: float("nan") for k in
+                ("count", "mean", "std", "q10", "q50", "q90", "min", "max")}
+    return {
+        "count": float(vals.size),
+        "mean": float(vals.mean()),
+        "std": float(vals.std()),
+        "q10": float(np.quantile(vals, 0.10)),
+        "q50": float(np.quantile(vals, 0.50)),
+        "q90": float(np.quantile(vals, 0.90)),
+        "min": float(vals.min()),
+        "max": float(vals.max()),
+    }
+
+
+def sobol_from_grid(z: np.ndarray) -> Dict[str, float]:
+    """First-order/interaction/total Sobol indices of a metric over a 2-D
+    parameter grid z[ta, tb], uniform over the finite cells (textbook
+    variance decomposition; reference `evaluation_itsc26.py:344-412`)."""
+    z = np.asarray(z, float)
+    finite = np.isfinite(z)
+    if not finite.any():
+        return {k: float("nan") for k in ("V", "S_tb", "S_ta", "S_int", "T_tb", "T_ta")}
+    V = float(np.var(z[finite]))
+    if V <= 1e-12:
+        return {"V": V, "S_tb": 0.0, "S_ta": 0.0, "S_int": 0.0,
+                "T_tb": 0.0, "T_ta": 0.0}
+    m_tb = np.nanmean(z, axis=0)
+    m_ta = np.nanmean(z, axis=1)
+    V_tb = float(np.var(m_tb[np.isfinite(m_tb)])) if np.isfinite(m_tb).any() else 0.0
+    V_ta = float(np.var(m_ta[np.isfinite(m_ta)])) if np.isfinite(m_ta).any() else 0.0
+    V_int = max(0.0, V - V_tb - V_ta)
+    return {
+        "V": V, "S_tb": V_tb / V, "S_ta": V_ta / V, "S_int": V_int / V,
+        "T_tb": 1.0 - V_ta / V, "T_ta": 1.0 - V_tb / V,
+    }
+
+
+def itsc26_robustness(quick: bool = False, out_dir: str = "outputs/itsc26") -> Dict:
+    """Threshold-sweep robustness report (reference
+    `evaluation_itsc26.py:344-447` + the h_nom/threshold colormaps
+    `:1185-1394`): the mean episode reward of short CBF-informed training
+    runs over a 2-D (t_a = agent-proximity threshold, t_b = boundary-
+    proximity threshold) grid, with Sobol sensitivity indices and robust
+    statistics of the resulting metric surface."""
+    from sigmarl_tpu.config import Parameters
+    from sigmarl_tpu.rl import MAPPOCAVs
+
+    ta_grid = [0.2, 0.3] if quick else [0.15, 0.225, 0.3, 0.375]
+    tb_grid = [0.01, 0.02] if quick else [0.01, 0.02, 0.03, 0.04]
+    n_iters = 1 if quick else 8
+
+    z = np.full((len(ta_grid), len(tb_grid)), np.nan)
+    for a, ta in enumerate(ta_grid):
+        for b, tb in enumerate(tb_grid):
+            p = Parameters(
+                scenario_type="cpm_mixed", n_agents=4,
+                num_vmas_envs=4 if quick else 32, dt=0.1,
+                max_steps=16 if quick else 128, n_iters=n_iters,
+                num_epochs=1 if quick else 10,
+                minibatch_size=32 if quick else 256,
+                is_use_mtv_distance=False, rew_method="cbf",
+                is_using_cbf_training=True, is_solve_qp=False,
+                threshold_near_other_agents_c2c_high=ta,
+                threshold_near_boundary_high=tb,
+                where_to_save=out_dir + "/robustness/",
+                model_name=f"ta{ta}_tb{tb}",
+                is_save_intermediate_model=False,
+            )
+            trainer = MAPPOCAVs(p)
+            hist = []
+            trainer.train(progress_callback=lambda i, m: hist.append(
+                float(m["episode_reward_mean"])
+            ))
+            z[a, b] = hist[-1]
+
+    report = {
+        "ta_grid": ta_grid,
+        "tb_grid": tb_grid,
+        "episode_reward_grid": z.tolist(),
+        "robust_stats": robust_stats(z),
+        "sobol": sobol_from_grid(z),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "robustness_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    return report
+
+
+def itsc26_footprints(quick: bool = False, out_dir: str = "outputs/itsc26") -> Dict:
+    """Footprint rendering from a recorded rollout (reference
+    `evaluation_itsc26_footprints.py`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sigmarl_tpu.config import Parameters
+    from sigmarl_tpu.env import make_env
+    from sigmarl_tpu.eval.rollout import rollout
+    from sigmarl_tpu.render import render_footprints
+
+    n_sims = 2
+    max_steps = 24 if quick else 300
+    p = Parameters(
+        scenario_type="cpm_mixed", n_agents=4, num_vmas_envs=n_sims, dt=0.1,
+        max_steps=max_steps + 1, is_use_mtv_distance=False, is_obs_noise=False,
+        is_testing_mode=True,
+    )
+    env = make_env(p)
+
+    def policy_fn(obs, key):
+        return jnp.zeros((n_sims, 4, 2)).at[..., 0].set(0.5)
+
+    record, _ = rollout(env, policy_fn, max_steps, jax.random.PRNGKey(0))
+    os.makedirs(out_dir, exist_ok=True)
+    out = render_footprints(
+        p.scenario_type, record, os.path.join(out_dir, "footprints.png")
+    )
+    return {"figure": out}
+
+
 EXPERIMENTS = {
     "itsc24": itsc24_observation_ablation,
     "icra25": icra25_priority_strategies,
@@ -235,6 +381,8 @@ EXPERIMENTS = {
     "lcss25": lcss25_ttcbf,
     "itsc25": itsc25_safety_filter,
     "itsc26": itsc26_reward_sweep,
+    "itsc26_robustness": itsc26_robustness,
+    "itsc26_footprints": itsc26_footprints,
 }
 
 

@@ -29,6 +29,7 @@ _RECORD_KEYS = [
     "is_collision_with_agents", "is_collision_with_lanelets", "is_reach_goal",
     "path_id", "nominal_action", "applied_action",
     "rew_progress", "rew_total",
+    "cbf_solved", "cbf_infeasible", "cbf_max_violation",
 ]
 
 

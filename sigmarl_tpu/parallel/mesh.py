@@ -80,7 +80,7 @@ def make_global_state(state, mesh: Mesh, pspec_leading=None):
     out = {}
     for f in dataclasses.fields(state):
         v = np.asarray(getattr(state, f.name))
-        if f.name == "state_buffer":
+        if f.name in ("state_buffer", "obs_history"):
             sh = NamedSharding(mesh, P(None, *pspec_leading))
         elif v.ndim >= 1 and v.shape[0] == B:
             sh = NamedSharding(mesh, pspec_leading)
@@ -115,7 +115,7 @@ def shard_world_state(state, mesh: Mesh):
     out = {}
     for f in dataclasses.fields(state):
         v = getattr(state, f.name)
-        if f.name == "state_buffer":
+        if f.name in ("state_buffer", "obs_history"):
             out[f.name] = jax.device_put(v, axis2)
         elif getattr(v, "ndim", 0) >= 1 and v.shape[0] == B:
             out[f.name] = jax.device_put(v, env_s)

@@ -109,6 +109,10 @@ class MAPPOCAVs:
 
     def __init__(self, parameters: Parameters, env: Optional[RoadTrafficEnv] = None):
         self.parameters = parameters
+        if parameters.debug_numerics:
+            from sigmarl_tpu.utils.debug import enable_debug_numerics
+
+            enable_debug_numerics()
         self.env = env if env is not None else make_env(parameters)
         cfg = self.env.cfg
 
@@ -419,6 +423,11 @@ class MAPPOCAVs:
                 (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, mb, ent_key
                 )
+                if p.debug_numerics:
+                    # Reference asserts loss finiteness (`mappo_cavs.py:419`).
+                    from sigmarl_tpu.utils.debug import assert_finite
+
+                    assert_finite(loss, "ppo_loss")
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), stats

@@ -9,7 +9,13 @@ is a configurable safety margin between the vehicles:
   (`cbf.py:625`),
 - "mtv": the learned MTV safety-margin network (`sm_predictor.py`), with
   first/second derivatives of the margin via JAX autodiff replacing the
-  reference's torch.autograd chains (`cbf.py:711`, `:816-954`).
+  reference's torch.autograd chains (`cbf.py:711`, `:816-954`),
+- "grid": the rectangle-outline distance — min distance from the other
+  vehicle's sampled outline points (corners + side midpoints, in the ego
+  frame) to the ego rectangle's outline polyline. The reference evaluates
+  this on a 3x3x3 finite-difference grid over (x_rel, y_rel, psi_rel)
+  (`compute_grid_based_gradient_hessian`, `cbf.py:1909-2018`, used at
+  `:606-618`); here the exact distance is autodiffed directly.
 
 The CBF condition is the second-order form psi2 = h:: + 2 alpha h: +
 alpha^2 h >= 0 (`cbf.py:776-814`), affine in the ego input u = (accel,
@@ -37,7 +43,7 @@ Array = jax.Array
 @dataclass(frozen=True)
 class CBFDemoConfig:
     scenario: str = "overtaking"  # {"overtaking", "bypassing"}
-    sm_type: str = "c2c"  # {"c2c", "mtv"}
+    sm_type: str = "c2c"  # {"c2c", "mtv", "grid"}
     dt: float = 0.05
     num_steps: int = 200
     alpha: float = -1.0  # class-K gain; <0 selects the per-scenario default
@@ -49,6 +55,10 @@ class CBFDemoConfig:
     # Nominal behavior
     ego_speed: float = 0.7
     other_speed: float = 0.3
+    # Strict-separation buffer for the distance-based "grid" margin (a raw
+    # outline distance is >= 0 by construction, so the barrier must hold
+    # h = d - buffer > 0 to guarantee clearance).
+    grid_safety_buffer: float = 0.01
 
 
 def _make_initial_states(cfg: CBFDemoConfig):
@@ -77,16 +87,49 @@ def run_demo(
     r_sum = float(np.hypot(cfg.length, cfg.width))  # conservative c2c radius sum
 
     use_mtv = cfg.sm_type == "mtv" and sm_module is not None and sm_module.params is not None
+    use_grid = cfg.sm_type == "grid"
+
+    # Rectangle outline sample points (4 corners + 1 midpoint per side,
+    # matching the reference's num_point_*_side=1, `cbf.py:606-618`) and the
+    # ego outline as a closed polyline.
+    lh, wh = cfg.length / 2, cfg.width / 2
+    _outline_pts = jnp.asarray(
+        [[lh, wh], [lh, -wh], [-lh, -wh], [-lh, wh],
+         [lh, 0.0], [0.0, -wh], [-lh, 0.0], [0.0, wh]]
+    )  # [8, 2]
+    _ego_poly = jnp.asarray(
+        [[lh, wh], [lh, -wh], [-lh, -wh], [-lh, wh], [lh, wh]]
+    )  # [5, 2] closed
+
+    def _rect_outline_distance(x_rel, y_rel, psi_rel):
+        """Min distance from the other rectangle's outline points (at the
+        relative pose) to the ego rectangle's outline polyline."""
+        c, s = jnp.cos(psi_rel), jnp.sin(psi_rel)
+        R = jnp.asarray([[c, -s], [s, c]])
+        pts = _outline_pts @ R.T + jnp.asarray([x_rel, y_rel])  # [8, 2]
+        starts = _ego_poly[:-1]  # [4, 2]
+        vecs = _ego_poly[1:] - starts
+        rel = pts[:, None, :] - starts[None]  # [8, 4, 2]
+        len2 = jnp.sum(vecs * vecs, axis=-1)
+        t = jnp.clip(jnp.sum(rel * vecs[None], -1) / len2, 0.0, 1.0)
+        closest = starts[None] + vecs[None] * t[..., None]
+        d = jnp.linalg.norm(pts[:, None, :] - closest, axis=-1)
+        return d.min()
 
     def margin_fn(ego, other):
         """Safety margin h(ego_state, other_state) and its needed derivatives."""
         rel = other[0:2] - ego[0:2]
-        if use_mtv:
+        if use_mtv or use_grid:
             # Relative pose in the ego frame (reference `:816-954`).
             c, s = jnp.cos(ego[2]), jnp.sin(ego[2])
             x_rel = c * rel[0] + s * rel[1]
             y_rel = -s * rel[0] + c * rel[1]
             psi_rel = angle_eliminate_two_pi(other[2] - ego[2])
+            if use_grid:
+                return (
+                    _rect_outline_distance(x_rel, y_rel, psi_rel)
+                    - cfg.grid_safety_buffer
+                )
             return sm_module.predict(jnp.asarray([x_rel, y_rel, psi_rel]))
         return jnp.sum(rel * rel) - r_sum * r_sum
 
@@ -172,7 +215,7 @@ def run_demo(
     return traj
 
 
-def main(scenarios=("overtaking", "bypassing"), sm_types=("c2c",)):
+def main(scenarios=("overtaking", "bypassing"), sm_types=("c2c", "grid")):
     """Run the scenario/sm-type grid (reference `evaluation_ecc25.py`)."""
     results = {}
     for scen in scenarios:

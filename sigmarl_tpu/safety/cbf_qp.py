@@ -86,6 +86,15 @@ class CBFConfig:
     is_obs_noise: bool = False
     obs_noise_level: float = 0.0
     newton_iters: int = 15
+    # Constraint-penetration threshold (raw residual units) above which a
+    # converged solve is declared INFEASIBLE: the QP could not satisfy the
+    # CBF constraints even with the penalty slacks. The reference's
+    # "infeasibility rate" counts OSQP/CLARABEL/SCS solver failures
+    # (`cbf_qp.py:1222-1260`, `evaluation_itsc25.py:565`) — its slacked QP
+    # is always feasible, so failures there are numerical. Here `solved`
+    # is the numerical-validity channel and `infeasible` the
+    # constraints-unsatisfiable channel.
+    infeasibility_tol: float = 1e-3
     # Reference-parity mode for the control-deviation harness: the reference
     # pseudo-distance rounds every distance to float16
     # (`/root/reference/sigmarl/pseudo_distance.py:118`) and its stencil
@@ -117,12 +126,13 @@ class CBFConfig:
 class CBFStepInfo(NamedTuple):
     safe_actions: Array  # [B, N, 2] (speed, steering) targets
     nominal_actions: Array  # [B, N, 2] clamped nominal targets
-    solved: Array  # [B] bool
+    solved: Array  # [B] bool — numerical validity (finite solution)
     max_violation: Array  # [B] worst remaining constraint penetration
     rew_near_left_lane: Array  # [B, N]
     rew_near_right_lane: Array  # [B, N]
     rew_near_other_agents: Array  # [B, N]
     u_star: Array = None  # [B, N, 2] raw (accel, steering-rate) solution
+    infeasible: Array = None  # [B] bool — penetration > infeasibility_tol
 
 
 # Nine-point stencil (reference `estimate_agent_2_lane_safety_margin:575-600`).
@@ -598,6 +608,7 @@ class CBFSafetyFilter:
             nominal_actions=rl_clamped,
             solved=solved,
             max_violation=viol,
+            infeasible=~solved | (viol > cfg.infeasibility_tol),
             u_star=u_star,
             **margins,
         )

@@ -55,6 +55,7 @@ def cbf_filtered_step(
     info = dict(info)
     info.update(
         cbf_solved=finfo.solved,
+        cbf_infeasible=finfo.infeasible,
         cbf_max_violation=finfo.max_violation,
         cbf_action_deviation=jnp.abs(finfo.safe_actions - finfo.nominal_actions),
     )
