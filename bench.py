@@ -34,7 +34,10 @@ def main():
     from sigmarl_tpu.safety import CBFConfig, CBFSafetyFilter
     from sigmarl_tpu.safety.wrappers import cbf_filtered_step
 
-    B, N, T = 1024, 15, 32
+    import os as _os
+
+    B = int(_os.environ.get("BENCH_B", 1024))  # B=4096 measured slightly slower (57.0k vs 63.6k steps/s) — batch scaling saturates at 1024 on one chip
+    N, T = 15, 32
     p = Parameters(
         scenario_type="cpm_entire",
         n_agents=N,

@@ -67,6 +67,17 @@ class MapTables:
     lanelet_centers: Array  # [n_lanelets, Lc, 2]
     n_lanelet_center_points: Array  # [n_lanelets] int32
     neighboring_lanelets: Array  # [n_lanelets, n_lanelets] bool
+    # Precomputed spawn-point geometry: every spawn candidate is exactly
+    # (long_term[k, p], center_line_yaw[k, p]), so the boundary-polyline
+    # sweeps of `update_geometry` for freshly reset agents reduce to one
+    # gather from these tables (computed once at build time with the SAME
+    # geometry functions the runtime uses — bit-identical by construction).
+    spawn_d_ref: Array  # [K, P]
+    spawn_idx_ref: Array  # [K, P] int32
+    spawn_idx_left: Array  # [K, P] int32
+    spawn_idx_right: Array  # [K, P] int32
+    spawn_d_left: Array  # [K, P, 5]
+    spawn_d_right: Array  # [K, P, 5]
 
 
 def path_onehot(path_id: Array, n_paths: int) -> Array:
@@ -218,8 +229,47 @@ def build_map_tables(
         for j in nb:
             neigh[i, j] = True
 
+    # ---- spawn-point geometry precompute (same functions as the runtime's
+    # `update_geometry`, evaluated for every (path, point) candidate once).
+    from sigmarl_tpu.constants import AGENTS
+    from sigmarl_tpu.core import geometry as G
+
+    lt_j = jnp.asarray(long_term)  # [K, P, 2]
+    yaw_j = jnp.asarray(yaw)
+    lb_j, rb_j = jnp.asarray(lb), jnp.asarray(rb)
+    n_lb_j, n_rb_j = jnp.asarray(n_lb), jnp.asarray(n_rb)
+    half_w = AGENTS["width"] / 2
+
+    sp_verts = G.rectangle_vertices(
+        lt_j, yaw_j, AGENTS["width"], AGENTS["length"], True
+    )  # [K, P, 5, 2]
+    sp_d_ref, sp_idx_ref = G.perpendicular_distances(
+        lt_j, lt_j[:, None], jnp.asarray(n_long)[:, None]
+    )  # [K, P]
+    sp_dl0, sp_idx_left = G.perpendicular_distances(
+        lt_j, lb_j[:, None], n_lb_j[:, None]
+    )
+    sp_dr0, sp_idx_right = G.perpendicular_distances(
+        lt_j, rb_j[:, None], n_rb_j[:, None]
+    )
+    v4 = sp_verts[..., 0:4, :]  # [K, P, 4, 2]
+    sp_dlv, _ = G.perpendicular_distances(
+        v4, lb_j[:, None, None], n_lb_j[:, None, None]
+    )
+    sp_drv, _ = G.perpendicular_distances(
+        v4, rb_j[:, None, None], n_rb_j[:, None, None]
+    )
+    spawn_d_left = jnp.concatenate([(sp_dl0 - half_w)[..., None], sp_dlv], -1)
+    spawn_d_right = jnp.concatenate([(sp_dr0 - half_w)[..., None], sp_drv], -1)
+
     as_j = jnp.asarray
     return MapTables(
+        spawn_d_ref=sp_d_ref,
+        spawn_idx_ref=sp_idx_ref.astype(jnp.int32),
+        spawn_idx_left=sp_idx_left.astype(jnp.int32),
+        spawn_idx_right=sp_idx_right.astype(jnp.int32),
+        spawn_d_left=spawn_d_left,
+        spawn_d_right=spawn_d_right,
         long_term=as_j(long_term),
         long_term_vec_normalized=as_j(long_vec),
         n_points_long_term=as_j(n_long),

@@ -241,10 +241,18 @@ def apply_reset(
         step=jnp.where(full_env_reset, 0, state.step),
     )
 
-    # Refresh derived state for all agents (vector-land: same cost as one).
-    # Collisions are skipped: the flags are cleared for reset envs below
-    # and provably unchanged for the others (their state didn't move).
-    state = update_geometry(cfg, tables, state, skip_collisions=True)
+    # Refresh derived state. Spawned poses are spawn-table entries whose
+    # boundary geometry is precomputed (`MapTables.spawn_*`), so the default
+    # path is a gather — no boundary-polyline sweeps. Challenge-buffer
+    # replays restore arbitrary recorded poses and need the full recompute
+    # (collisions skipped in both: cleared for reset envs below, provably
+    # unchanged for the rest).
+    if cfg.is_challenging_initial_state_buffer:
+        state = update_geometry(cfg, tables, state, skip_collisions=True)
+    else:
+        from sigmarl_tpu.env.updates import refresh_geometry_after_reset
+
+        state = refresh_geometry_after_reset(cfg, tables, state, reset_mask)
     state = update_short_term_paths(cfg, tables, state, at_reset=True)
 
     # Envs with any reset clear their collision flags

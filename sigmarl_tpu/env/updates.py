@@ -107,6 +107,50 @@ def update_geometry(
     )
 
 
+def refresh_geometry_after_reset(
+    cfg: EnvConfig, tables: MapTables, state: WorldState, reset_mask: Array
+) -> WorldState:
+    """Post-reset geometry refresh WITHOUT boundary-polyline sweeps.
+
+    Every spawned pose is exactly a (path, point) entry of the spawn tables,
+    whose boundary geometry was precomputed at map-build time with the same
+    functions (`MapTables.spawn_*`) — so reset agents' derived fields are a
+    gather, non-reset agents keep their current values (their state did not
+    move), and only the cheap cross-agent pieces (vertices, mutual
+    distances) are recomputed. Replaces a second full `update_geometry`
+    (two boundary perp sweeps x 5 query points) in the hot step path.
+    """
+    pos, rot = state.pos, state.rot
+    m = reset_mask
+    verts = G.rectangle_vertices(pos, rot, cfg.agent_width, cfg.agent_length, True)
+    if cfg.distance_type == "c2c":
+        d_agents = G.c2c_distances(pos, set_diagonal_to=cfg.world_semidiag)
+    else:
+        d_agents = G.mtv_distances(verts, set_diagonal_to=cfg.world_semidiag)
+
+    K, P = tables.long_term.shape[:2]
+    flat = (state.path_id * P + state.point_id).astype(jnp.int32)  # [B, N]
+
+    def g(t):
+        return t.reshape(K * P, *t.shape[2:])[flat]
+
+    m1 = m[..., None]
+    d_left = jnp.where(m1, g(tables.spawn_d_left), state.d_left)
+    d_right = jnp.where(m1, g(tables.spawn_d_right), state.d_right)
+    return replace_state(
+        state,
+        vertices=verts,
+        d_agents=d_agents,
+        d_ref=jnp.where(m, g(tables.spawn_d_ref), state.d_ref),
+        idx_ref=jnp.where(m, g(tables.spawn_idx_ref), state.idx_ref),
+        idx_left=jnp.where(m, g(tables.spawn_idx_left), state.idx_left),
+        idx_right=jnp.where(m, g(tables.spawn_idx_right), state.idx_right),
+        d_left=d_left,
+        d_right=d_right,
+        d_boundary=jnp.minimum(d_left.min(-1), d_right.min(-1)),
+    )
+
+
 def update_short_term_paths(
     cfg: EnvConfig, tables: MapTables, state: WorldState, at_reset: bool = False
 ) -> WorldState:

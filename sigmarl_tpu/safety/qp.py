@@ -93,21 +93,20 @@ def _phi_terms(r: Array, h: Array, ws: Array, wl: Array) -> Tuple[Array, Array, 
     h_safe = jnp.where(jnp.abs(h) > 1e-12, h, 1.0)
     lam0 = jnp.clip(-r / h_safe, 0.0, 1.0)
     lam_stat = jnp.clip(-ws * h * r / (wl + ws * h * h), 0.0, 1.0)
-    zeros = jnp.zeros_like(r)
-    ones = jnp.ones_like(r)
 
     def g(lam):
         pen = jnp.maximum(0.0, -(r + h * lam))
         return wl * lam * lam + ws * pen * pen
 
-    cands = jnp.stack([zeros, ones, lam0, lam_stat], axis=-1)
-    vals = g(cands[..., 0])
-    lam_best = cands[..., 0]
-    for k in range(1, 4):
-        vk = g(cands[..., k])
+    # Candidate loop without a stacked minor axis (a [..., 4] stack +
+    # integer indexing lowers to a gather, which Pallas/Mosaic rejects).
+    lam_best = jnp.zeros_like(r)
+    vals = g(lam_best)
+    for cand in (jnp.ones_like(r), lam0, lam_stat):
+        vk = g(cand)
         take = vk < vals
         vals = jnp.where(take, vk, vals)
-        lam_best = jnp.where(take, cands[..., k], lam_best)
+        lam_best = jnp.where(take, cand, lam_best)
 
     pen = jnp.maximum(0.0, -(r + h * lam_best))
     active = pen > 0
@@ -410,25 +409,18 @@ def solve_structured_qp(
     wl = flat(cons.wl_s, cons.wl_p)
     valid = flat(cons.valid_s, cons.valid_p)
 
-    # ---- static row->agent / row->pair maps (baked as constants).
-    row_i = np.concatenate(
-        [np.repeat(np.arange(N), Ks), np.repeat(cons.pair_i, Kp)]
-    )  # [M]
-    row_j = np.concatenate(
-        [np.repeat(np.arange(N), Ks), np.repeat(cons.pair_j, Kp)]
-    )
-    Ei = jnp.asarray(np.eye(N, dtype=np.float32)[row_i])  # [M, N]
-    Ej = jnp.asarray(np.eye(N, dtype=np.float32)[row_j])
-    EjT = Ej.T
-    EiT = Ei.T
-    row_p = np.concatenate(
-        [np.zeros(Ms, np.int64), np.repeat(np.arange(P), Kp)]
-    )
-    Ep = np.eye(P, dtype=np.float32)[row_p]
-    Ep[:Ms] = 0.0  # single rows contribute to no pair block
-    EpT = jnp.asarray(Ep.T)  # [P, M]
+    # ---- static row->agent / row->pair maps. The flat row order is
+    # agent-major for single rows and pair-major for pair rows, so every
+    # row<->agent gather/scatter is a pure RESHAPE (repeat / segment-sum)
+    # plus one tiny [N, P]-sized matmul for the pair->agent hop — an
+    # order-of-magnitude fewer FLOPs than the round-2 full [M, N] one-hot
+    # matmuls ([M,N]@[N,B] and [P,M]@[M,B] on every Newton iteration).
     ei_p = np.eye(N, dtype=np.float32)[np.asarray(cons.pair_i)]  # [P, N]
     ej_p = np.eye(N, dtype=np.float32)[np.asarray(cons.pair_j)]
+    Ei_p = jnp.asarray(ei_p)  # [P, N] pair -> i agent
+    Ej_p = jnp.asarray(ej_p)
+    Ei_pT = jnp.asarray(ei_p.T)  # [N, P]
+    Ej_pT = jnp.asarray(ej_p.T)
     # Pair scatter map: W[(n*N + m), p] = ei_p[p, n] * ej_p[p, m].
     W_nm = jnp.asarray(
         (ei_p[:, :, None] * ej_p[:, None, :]).reshape(P, N * N).T
@@ -445,11 +437,36 @@ def solve_structured_qp(
     lo_c = u_lo[:, None, None]
     hi_c = u_hi[:, None, None]
 
+    def rep_s(v):  # [N, B] -> [Ms, B] (each agent's value on its Ks rows)
+        return jnp.broadcast_to(v[:, None, :], (N, Ks, B)).reshape(Ms, B)
+
+    def rep_p(v):  # [P, B] -> [Mp, B]
+        return jnp.broadcast_to(v[:, None, :], (P, Kp, B)).reshape(Mp, B)
+
+    def gath_i(v):  # [N, B] -> per-row i-agent value [M, B]
+        return jnp.concatenate([rep_s(v), rep_p(mm(Ei_p, v))], axis=0)
+
+    def gath_j(v):
+        return jnp.concatenate([rep_s(v), rep_p(mm(Ej_p, v))], axis=0)
+
+    def sum_s(x):  # [M, B] -> per-agent sum over that agent's single rows
+        return x[:Ms].reshape(N, Ks, B).sum(1)
+
+    def sum_p(x):  # [M, B] -> per-pair sum over that pair's rows [P, B]
+        return x[Ms:].reshape(P, Kp, B).sum(1)
+
+    def scat_i(x):  # [M, B] -> [N, B]: rows scattered to their i agent
+        return sum_s(x) + mm(Ei_pT, sum_p(x))
+
+    def scat_j(x):  # rows scattered to their j agent (row_j == row_i on
+        # single rows, so the single part is identical)
+        return sum_s(x) + mm(Ej_pT, sum_p(x))
+
     def residual(u):  # u [2, N, B] -> r [M, B]
-        uxi = mm(Ei, u[0])
-        uyi = mm(Ei, u[1])
-        uxj = mm(Ej, u[0])
-        uyj = mm(Ej, u[1])
+        uxi = gath_i(u[0])
+        uyi = gath_i(u[1])
+        uxj = gath_j(u[0])
+        uyj = gath_j(u[1])
         return Ax * uxi + Ay * uyi + Axj * uxj + Ayj * uyj + b
 
     def F_value(u):
@@ -472,8 +489,8 @@ def solve_structured_qp(
         F = jnp.sum(w_u_c * (u - u_nom_t) ** 2, axis=(0, 1)) + val.sum(0)
 
         # Gradient [2, N, B]: scatter row contributions to both end agents.
-        gx = mm(EiT, dphi * Ax) + mm(EjT, dphi * Axj)
-        gy = mm(EiT, dphi * Ay) + mm(EjT, dphi * Ayj)
+        gx = scat_i(dphi * Ax) + scat_j(dphi * Axj)
+        gy = scat_i(dphi * Ay) + scat_j(dphi * Ayj)
         grad = 2.0 * w_u_c * (u - u_nom_t) + jnp.stack([gx, gy], axis=0)
 
         # Binding-set projection (Bertsekas projected Newton): pin variables
@@ -489,15 +506,15 @@ def solve_structured_qp(
         bind_d = 1.0 - free_d
 
         # Hessian 2x2 agent blocks from flat row products.
-        dxx = mm(EiT, ddphi * Ax * Ax) + mm(EjT, ddphi * Axj * Axj)  # [N, B]
-        dyy = mm(EiT, ddphi * Ay * Ay) + mm(EjT, ddphi * Ayj * Ayj)
-        dxy = mm(EiT, ddphi * Ax * Ay) + mm(EjT, ddphi * Axj * Ayj)
+        dxx = scat_i(ddphi * Ax * Ax) + scat_j(ddphi * Axj * Axj)  # [N, B]
+        dyy = scat_i(ddphi * Ay * Ay) + scat_j(ddphi * Ayj * Ayj)
+        dxy = scat_i(ddphi * Ax * Ay) + scat_j(ddphi * Axj * Ayj)
         # Cross blocks per pair (i-coeff x j-coeff), then scatter into
         # [N, N, B] via ONE static matmul per component.
-        cxx = mm(EpT, ddphi * Ax * Axj)  # [P, B]
-        cxy = mm(EpT, ddphi * Ax * Ayj)
-        cyx = mm(EpT, ddphi * Ay * Axj)
-        cyy = mm(EpT, ddphi * Ay * Ayj)
+        cxx = sum_p(ddphi * Ax * Axj)  # [P, B]
+        cxy = sum_p(ddphi * Ax * Ayj)
+        cyx = sum_p(ddphi * Ay * Axj)
+        cyy = sum_p(ddphi * Ay * Ayj)
 
         def scat(cp):  # [P, B] -> [N, N, B]
             return mm(W_nm, cp).reshape(N, N, B)
@@ -561,10 +578,10 @@ def solve_structured_qp(
         a_cap = jnp.maximum(a_cap, 0.0)
 
         dr = (
-            Ax * mm(Ei, step[0])
-            + Ay * mm(Ei, step[1])
-            + Axj * mm(Ej, step[0])
-            + Ayj * mm(Ej, step[1])
+            Ax * gath_i(step[0])
+            + Ay * gath_i(step[1])
+            + Axj * gath_j(step[0])
+            + Ayj * gath_j(step[1])
         )  # [M, B]
         dr = jnp.where(valid, dr, 0.0)
         # Tracking-term derivative pieces: q1 + 2 q2 alpha.
@@ -626,6 +643,84 @@ def solve_structured_qp(
     u = jax.lax.fori_loop(0, n_iters, lambda _, uu: newton_step(uu), u)
     F = F_value(u)
     return jnp.transpose(u, (2, 1, 0)), F
+
+
+def solve_structured_qp_pallas(
+    cons: StructuredConstraintSet,
+    u_nom: Array,  # [B, N, 2]
+    w_u: Array,
+    u_lo: Array,
+    u_hi: Array,
+    n_iters: int = 12,
+    ridge: float = 1e-8,
+    u_init: Array | None = None,
+    ws_cap: float = 3e6,
+    wl_val: float = 1e-9,
+    static_bounds: Tuple | None = None,  # ((w_u), (lo), (hi)) python floats
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """`solve_structured_qp` through the fused Pallas whole-solve kernel
+    (`ops/qp_pallas.py`): same algorithm, all Newton iterations in one
+    VMEM-resident program. Converges to the same objective (pinned by
+    tests); individual fp32 trajectories may differ in near-flat
+    directions exactly like any two solver variants do.
+
+    `wl_val` is the (scalar) lambda penalty weight — the kernel carries it
+    statically instead of as per-row arrays (see CBFConfig.lambda_weight /
+    adaptive_lambda_cost)."""
+    from sigmarl_tpu.ops.qp_pallas import newton_solve_pallas
+
+    B, N = u_nom.shape[:2]
+    P = cons.pair_i.shape[0]
+    if P == 0:  # single-agent problems: zero-size pair blocks are illegal
+        return solve_structured_qp(
+            cons, u_nom, w_u, u_lo, u_hi, n_iters, ridge, u_init, ws_cap
+        )
+    Ks, Kp = cons.A_s.shape[2], cons.A_pi.shape[2]
+    consn = _normalize_structured(cons, ws_cap=ws_cap)
+
+    tr = lambda x: jnp.transpose(x, (2, 1, 0))
+    # Invalid rows -> ws = 0 (phi vanishes identically); wl is scalar.
+    ws_s = jnp.where(consn.valid_s, consn.ws_s, 0.0)
+    ws_p = jnp.where(consn.valid_p, consn.ws_p, 0.0)
+    singles = (tr(consn.A_s[..., 0]), tr(consn.A_s[..., 1]), tr(consn.b_s),
+               tr(consn.h_s), tr(ws_s))
+    pairs = (tr(consn.A_pi[..., 0]), tr(consn.A_pi[..., 1]),
+             tr(consn.A_pj[..., 0]), tr(consn.A_pj[..., 1]),
+             tr(consn.b_p), tr(consn.h_p), tr(ws_p))
+
+    # The kernel bakes weights/bounds statically; under jit the array
+    # forms are tracers, so callers inside jit must supply static_bounds.
+    if static_bounds is not None:
+        (wu0, wu1), (lo0, lo1), (hi0, hi1) = static_bounds
+    else:
+        wu0, wu1 = (float(x) for x in np.asarray(w_u))
+        lo0, lo1 = (float(x) for x in np.asarray(u_lo))
+        hi0, hi1 = (float(x) for x in np.asarray(u_hi))
+
+    u_nom_t = jnp.concatenate([u_nom[..., 0].T, u_nom[..., 1].T], axis=0)
+    u0 = jnp.concatenate(
+        [jnp.clip(u_nom[..., 0], lo0, hi0).T,
+         jnp.clip(u_nom[..., 1], lo1, hi1).T], axis=0,
+    )
+    if u_init is not None:
+        ui = jnp.concatenate(
+            [jnp.clip(u_init[..., 0], lo0, hi0).T,
+             jnp.clip(u_init[..., 1], lo1, hi1).T], axis=0,
+        )
+    else:
+        ui = u0
+
+    u_t, F = newton_solve_pallas(
+        singles, pairs, u0, ui, u_nom_t,
+        N, Ks, Kp, P,
+        tuple(np.asarray(cons.pair_i).tolist()),
+        tuple(np.asarray(cons.pair_j).tolist()),
+        (wu0, wu1), (lo0, lo1), (hi0, hi1),
+        n_iters, ridge, wl_val, interpret=interpret,
+    )
+    u = jnp.stack([u_t[:N].T, u_t[N:].T], axis=-1)  # [B, N, 2]
+    return u, F
 
 
 def eliminated_lambda(
