@@ -50,15 +50,17 @@ def main():
         is_using_centralized_cbf=True,
     )
     env = make_env(p)
-    # Warm-started production configuration: 8 Newton iterations from the
+    # Warm-started production configuration: 6 Newton iterations from the
     # previous step's solution reach the cold 30-iteration solve's objective
-    # within 1e-3 relative (certified by tests/test_warm_start.py).
+    # within 1e-3 relative (certified by tests/test_warm_start.py; measured
+    # gap 9.6e-6 at 6 iters, 3.56 at 5 — the projected-arc line search
+    # converges in 6).
     cbf = CBFSafetyFilter(
         CBFConfig(
             n_agents=N,
             n_circles=3,
             dt=0.1,
-            newton_iters=8,
+            newton_iters=6,
         ),
         env.cfg,
         env.tables,

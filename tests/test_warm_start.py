@@ -1,7 +1,7 @@
 """Cross-step QP warm starting: same minimizer, fewer Newton iterations.
 
 The production configuration (warm start from the previous step's solution,
-8 iterations) must reach the fully converged cold solve (30 iterations)
+6 iterations) must reach the fully converged cold solve (30 iterations)
 along a rollout — this pins the bench configuration's correctness
 (VERDICT round-1 item 1c, round-2 item 1).
 
@@ -36,7 +36,7 @@ def test_warm_start_matches_cold_converged():
     )
     env = make_env(p)
     warm = CBFSafetyFilter(
-        CBFConfig(n_agents=N, dt=0.1, newton_iters=8),
+        CBFConfig(n_agents=N, dt=0.1, newton_iters=6),
         env.cfg, env.tables,
     )
     cold = CBFSafetyFilter(
