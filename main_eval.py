@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--no_cbf", action="store_true", help="baseline without filter")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out_dir", type=str, default="outputs/eval_cbf")
+    ap.add_argument("--save_video", action="store_true",
+                    help="render an mp4 with CBF-vs-nominal action arrows")
     ap.add_argument("--device", type=str, default=None, choices=["tpu", "cpu"])
     args = ap.parse_args()
 
@@ -110,6 +112,17 @@ def main():
         f"{args.nom_controller_type}_{'nocbf' if args.no_cbf else 'cbf'}_s{args.seed}"
     )
     np.savez_compressed(os.path.join(args.out_dir, f"out_td_{tag}.npz"), **record)
+
+    if args.save_video:
+        from sigmarl_tpu.render import save_rollout_video
+
+        # The record carries nominal + applied actions, so the frames show
+        # the filter interventions as arrow pairs (reference
+        # `road_traffic.py:2007-2226`).
+        save_rollout_video(
+            args.scenario_type, record,
+            os.path.join(args.out_dir, f"video_{tag}.mp4"),
+        )
 
     result = M.basic_metrics(record)
     result["collisions_per_100m"] = M.collisions_per_100m(record)

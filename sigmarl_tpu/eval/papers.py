@@ -123,18 +123,24 @@ def icra25_priority_strategies(quick: bool = False, out_dir: str = "outputs/icra
 
 def ecc25_cbf_grid(out_dir: str = "outputs/ecc25") -> Dict:
     """Scenario x safety-margin-type grid of the standalone 2-agent CBF demo
-    (reference `evaluation_ecc25.py`)."""
-    from sigmarl_tpu.safety.cbf_demo import CBFDemoConfig, run_demo
+    (reference `evaluation_ecc25.py`), with the per-run figure suite
+    (trajectory footprints + h(t) + nominal-vs-filtered inputs)."""
+    from sigmarl_tpu.safety.cbf_demo import CBFDemoConfig, plot_demo, run_demo
 
+    os.makedirs(out_dir, exist_ok=True)
     results = {}
     for scen in ("overtaking", "bypassing"):
-        for sm in ("c2c",):
-            t = run_demo(CBFDemoConfig(scenario=scen, sm_type=sm))
+        for sm in ("c2c", "grid"):
+            cfg = CBFDemoConfig(scenario=scen, sm_type=sm)
+            t = run_demo(cfg)
+            fig = plot_demo(
+                t, cfg, os.path.join(out_dir, f"demo_{scen}_{sm}.png")
+            )
             results[f"{scen}/{sm}"] = {
                 "h_min": t["h_min"],
                 "collided": t["collided"],
+                "figure": fig,
             }
-    os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
     return results

@@ -231,3 +231,60 @@ def main(scenarios=("overtaking", "bypassing"), sm_types=("c2c", "grid")):
 
 if __name__ == "__main__":
     main()
+
+
+def plot_demo(traj: Dict[str, np.ndarray], cfg: CBFDemoConfig, out_file: str):
+    """Figure suite for one demo run (reference `cbf.py:2131-2974` distilled:
+    trajectory footprints, barrier value h(t), and nominal-vs-filtered
+    inputs — the panels the ECC25 paper reports)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ego = np.asarray(traj["ego"])  # [T, 5]
+    other = np.asarray(traj["other"])
+    h = np.asarray(traj["h"])
+    u = np.asarray(traj["u"])
+    u_nom = np.asarray(traj["u_nom"])
+    T = ego.shape[0]
+    t = np.arange(T) * cfg.dt
+
+    fig, axes = plt.subplots(3, 1, figsize=(7, 8), dpi=120)
+
+    ax = axes[0]
+    lh, wh = cfg.length / 2, cfg.width / 2
+    local = np.array([[lh, wh], [lh, -wh], [-lh, -wh], [-lh, wh]])
+    for k in range(0, T, max(1, T // 20)):
+        for state, color in ((ego[k], "tab:blue"), (other[k], "tab:red")):
+            c, s = np.cos(state[2]), np.sin(state[2])
+            R = np.array([[c, -s], [s, c]])
+            poly = plt.Polygon(
+                local @ R.T + state[0:2], closed=True, facecolor=color,
+                alpha=0.1 + 0.5 * k / T, edgecolor="none",
+            )
+            ax.add_patch(poly)
+    ax.plot(ego[:, 0], ego[:, 1], "tab:blue", lw=0.8, label="ego")
+    ax.plot(other[:, 0], other[:, 1], "tab:red", lw=0.8, label="other")
+    ax.set_aspect("equal")
+    ax.legend(loc="upper right", fontsize=7)
+    ax.set_title(f"{cfg.scenario} / {cfg.sm_type}")
+
+    ax = axes[1]
+    ax.plot(t, h, "k")
+    ax.axhline(0.0, color="tab:red", lw=0.8, linestyle="--")
+    ax.set_ylabel("h(t)")
+
+    ax = axes[2]
+    ax.plot(t, u_nom[:, 0], "tab:blue", linestyle="--", lw=0.8, label="a nominal")
+    ax.plot(t, u[:, 0], "tab:blue", lw=1.0, label="a filtered")
+    ax.plot(t, u_nom[:, 1], "tab:red", linestyle="--", lw=0.8, label="ddelta nominal")
+    ax.plot(t, u[:, 1], "tab:red", lw=1.0, label="ddelta filtered")
+    ax.legend(fontsize=7, ncol=2)
+    ax.set_xlabel("t [s]")
+    ax.set_ylabel("u")
+
+    fig.tight_layout()
+    fig.savefig(out_file)
+    plt.close(fig)
+    return out_file
