@@ -88,8 +88,14 @@ def perpendicular_distances(
     if n_valid is not None:
         n_seg = d.shape[-1]
         seg_idx = jnp.arange(n_seg)
-        d_end = jnp.take_along_axis(
-            d, jnp.maximum(n_valid - 2, 0)[..., None].astype(jnp.int32), axis=-1
+        # d at segment n_valid-2, via a one-hot reduction: a per-element
+        # take_along_axis lowers to scalar HBM gathers on TPU (the same
+        # pessimization as the windowed pseudo-distance, ~an order of
+        # magnitude slower than this dense masked sum).
+        end_idx = jnp.maximum(n_valid - 2, 0).astype(jnp.int32)
+        d_end = jnp.sum(
+            jnp.where(seg_idx == end_idx[..., None], d, 0.0),
+            axis=-1, keepdims=True,
         )
         d = jnp.where(seg_idx >= (n_valid[..., None] - 1), d_end, d)
     idx = jnp.argmin(d, axis=-1).astype(jnp.int32) + 1
