@@ -101,22 +101,28 @@ def spawn_positions(
     K, P = tables.long_term.shape[:2]
 
     # All candidate draws and table lookups hoisted OUT of the sequential
-    # agent scan: one [B, N, T] sample + one flat gather instead of N
-    # separate gather programs inside the scan body (the scan then carries
-    # only the elementwise feasibility/selection work).
+    # agent scan. Only candidate POSITIONS are gathered at full [B, N, T]
+    # size (the feasibility check needs them); yaw/path/point resolve for
+    # the single chosen candidate afterwards at [B, N] size — the [B, N, T]
+    # gathers from the [K*P]-row tables were the dominant reset cost
+    # (~3 ms/step at B=1024, XLA lowers them to scalar HBM loads).
     k_path, k_point = jax.random.split(key)
     cand_path = _sample_candidate_paths(
         cfg, tables, k_path, scenario_id, (B, N, T)
     )  # [B, N, T]
-    n_pts = tables.n_points_long_term[cand_path]  # [B, N, T]
+    # n_points per candidate via a one-hot matmul over the tiny [K] table
+    # (a [B, N, T] gather from it would again be scalar loads).
+    oh_path = jax.nn.one_hot(cand_path, K, dtype=jnp.float32)
+    n_pts = jnp.einsum(
+        "bntk,k->bnt", oh_path, tables.n_points_long_term.astype(jnp.float32)
+    ).astype(jnp.int32)
     cand_point = _candidate_point_ids(cfg, k_point, n_pts, T)  # [B, N, T]
     flat_idx = cand_path * P + cand_point
     cand_pos = tables.long_term.reshape(K * P, 2)[flat_idx]  # [B, N, T, 2]
-    cand_yaw = tables.center_line_yaw.reshape(K * P)[flat_idx]  # [B, N, T]
 
     def per_agent(carry, inputs):
         placed_pos, placed_mask = carry  # [B, N, 2], [B, N] bool
-        n, c_pos, c_yaw, c_path, c_point = inputs  # [B, T, ...]
+        n, c_pos = inputs  # [B, T, 2]
 
         # Feasibility vs already-placed agents (and, for partial resets, vs
         # agents that are not being reset at all).
@@ -130,39 +136,33 @@ def spawn_positions(
         any_feasible = feasible.any(axis=-1)
         choice = jnp.where(any_feasible, first, T - 1)  # [B]
 
-        sel = lambda a: jnp.take_along_axis(a, choice[:, None], axis=1)[:, 0]
-        path_n = sel(c_path)
-        point_n = sel(c_point)
-        rot_n = sel(c_yaw)
         pos_n = jnp.take_along_axis(c_pos, choice[:, None, None], axis=1)[:, 0]
 
         do = reset_mask[:, n]  # [B]
         pos_n = jnp.where(do[:, None], pos_n, prev_pos[:, n])
         placed_pos = placed_pos.at[:, n].set(pos_n)
         placed_mask = placed_mask.at[:, n].set(True)
-        return (placed_pos, placed_mask), (pos_n, rot_n, path_n, point_n)
+        return (placed_pos, placed_mask), (pos_n, choice)
 
     # Initial "placed" set: agents that are NOT being reset keep their
     # positions and constrain everyone (partial resets check against all
     # other agents, `world_state_rt_sim.py:287-294`).
     init_pos = prev_pos
     init_mask = ~reset_mask
-    (_, _), (pos_seq, rot_seq, path_seq, point_seq) = jax.lax.scan(
+    (_, _), (pos_seq, choice_seq) = jax.lax.scan(
         per_agent,
         (init_pos, init_mask),
-        (
-            jnp.arange(N),
-            jnp.moveaxis(cand_pos, 1, 0),
-            jnp.moveaxis(cand_yaw, 1, 0),
-            jnp.moveaxis(cand_path, 1, 0),
-            jnp.moveaxis(cand_point, 1, 0),
-        ),
+        (jnp.arange(N), jnp.moveaxis(cand_pos, 1, 0)),
     )
     # scan stacks over agent axis first -> [N, B, ...]; move to [B, N, ...].
     pos = jnp.moveaxis(pos_seq, 0, 1)
-    rot = jnp.moveaxis(rot_seq, 0, 1)
-    path_id = jnp.moveaxis(path_seq, 0, 1)
-    point_id = jnp.moveaxis(point_seq, 0, 1)
+    choice = jnp.moveaxis(choice_seq, 0, 1)  # [B, N]
+
+    # Resolve the chosen candidate's path/point/yaw at [B, N] size.
+    sel = lambda a: jnp.take_along_axis(a, choice[..., None], axis=2)[..., 0]
+    path_id = sel(cand_path)
+    point_id = sel(cand_point)
+    rot = tables.center_line_yaw.reshape(K * P)[path_id * P + point_id]
     return pos, rot, path_id, point_id
 
 
