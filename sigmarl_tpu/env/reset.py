@@ -117,8 +117,25 @@ def spawn_positions(
         "bntk,k->bnt", oh_path, tables.n_points_long_term.astype(jnp.float32)
     ).astype(jnp.int32)
     cand_point = _candidate_point_ids(cfg, k_point, n_pts, T)  # [B, N, T]
-    flat_idx = cand_path * P + cand_point
-    cand_pos = tables.long_term.reshape(K * P, 2)[flat_idx]  # [B, N, T, 2]
+    # Candidate positions via double one-hot contraction on the MXU
+    # (exact: each one-hot has a single nonzero). The equivalent flat
+    # [B, N, T] gather from the [K*P]-row table lowers to scalar HBM
+    # loads (~2 ms/step at B=1024); this is ~10 GFLOP of dense matmul
+    # instead. Chunked over candidates to keep intermediates small.
+    hp = jax.lax.Precision.HIGHEST
+    pos_chunks = []
+    for t in range(T):
+        ohp = jax.nn.one_hot(cand_point[:, :, t], P, dtype=jnp.float32)
+        ohk = jax.nn.one_hot(cand_path[:, :, t], K, dtype=jnp.float32)
+        # contract the point axis first ([B,N,P] x [K,P,2] -> [B,N,K,2]),
+        # then select the path: both contractions ride the MXU.
+        rows = jnp.einsum(
+            "bnp,kpc->bnkc", ohp, tables.long_term, precision=hp
+        )
+        pos_chunks.append(
+            jnp.einsum("bnk,bnkc->bnc", ohk, rows, precision=hp)
+        )
+    cand_pos = jnp.stack(pos_chunks, axis=2)  # [B, N, T, 2]
 
     def per_agent(carry, inputs):
         placed_pos, placed_mask = carry  # [B, N, 2], [B, N] bool
