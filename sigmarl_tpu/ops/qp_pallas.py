@@ -289,7 +289,7 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
 
             bx, by = clip_u(ux + alpha * sx, uy + alpha * sy)
             best_F = F_value(bx, by)
-            for a_arc in (1.0, 2.0, 4.0):
+            for a_arc in (1.0, 4.0):
                 cxu, cyu = clip_u(ux + a_arc * sx, uy + a_arc * sy)
                 F_a = F_value(cxu, cyu)
                 take_a = F_a < best_F

@@ -241,7 +241,7 @@ def solve_boxed_penalty_qp(
         # searching the projected arc lets them clamp exactly while the free
         # coordinates keep moving.
         best_u, best_F = u_t, F_t
-        for a_arc in (1.0, 2.0, 4.0):
+        for a_arc in (1.0, 4.0):
             u_a = jnp.clip(u + a_arc * step, u_lo, u_hi)
             F_a, _, _ = F_parts(u_a)
             take_a = F_a < best_F
@@ -621,7 +621,7 @@ def solve_structured_qp(
         # searching the projected arc lets them clamp exactly while the free
         # coordinates keep moving.
         best_u, best_F = u_t, F_t
-        for a_arc in (1.0, 2.0, 4.0):
+        for a_arc in (1.0, 4.0):
             u_a = jnp.clip(u + a_arc * step, lo_c, hi_c)
             F_a = F_value(u_a)
             take_a = F_a < best_F
