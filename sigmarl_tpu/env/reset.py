@@ -43,15 +43,37 @@ def _sample_scenario_ids(cfg: EnvConfig, key: Array, B: int) -> Array:
 def _sample_candidate_paths(
     cfg: EnvConfig, tables: MapTables, key: Array, scenario_id: Array, shape: tuple
 ) -> Array:
-    """Uniformly sample candidate path ids among the scenario group's paths."""
-    mask = tables.group_mask[scenario_id]  # [..., K]
-    logits = jnp.where(mask, 0.0, -jnp.inf)
-    # Broadcast logits over the candidate axes (any number of them).
+    """Uniformly sample candidate path ids among the scenario group's paths.
+
+    Inverse-CDF sampling: a uniform draw indexes into the group's sorted
+    valid-path list (one-hot matmul against a per-group rank table) —
+    identical distribution to the earlier Gumbel categorical over masked
+    logits at a fraction of the cost (no [shape, K] exp/log/argmax sweep).
+    """
     K = tables.group_mask.shape[-1]
-    n_new = len(shape) - (logits.ndim - 1)
-    logits = logits.reshape(logits.shape[:-1] + (1,) * n_new + (K,))
-    logits = jnp.broadcast_to(logits, shape + (K,))
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    mask = tables.group_mask  # [4, K] bool
+    # rank[g, k] = position of path k within group g's valid list (0-based).
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1  # [4, K]
+    n_valid = mask.sum(-1).astype(jnp.float32)  # [4]
+
+    u = jax.random.uniform(key, shape)  # [..., T]
+    nv = n_valid[scenario_id]  # [...-1] per env
+    nv = nv.reshape(nv.shape + (1,) * (len(shape) - nv.ndim))
+    idx = jnp.minimum((u * nv).astype(jnp.int32), (nv - 1).astype(jnp.int32))
+
+    # Map rank -> path id via one-hot against the env's group rank table.
+    sel = jax.nn.one_hot(scenario_id, 4, dtype=jnp.float32)  # [B, 4]
+    rank_env = jnp.einsum("bg,gk->bk", sel, rank.astype(jnp.float32))  # [B, K]
+    mask_env = jnp.einsum("bg,gk->bk", sel, mask.astype(jnp.float32))
+    # onehot over ranks: path = argwhere(rank_env == idx & valid).
+    n_new = len(shape) - 1
+    rank_b = rank_env.reshape((shape[0],) + (1,) * n_new + (K,))
+    mask_b = mask_env.reshape((shape[0],) + (1,) * n_new + (K,))
+    hit = (rank_b == idx[..., None].astype(jnp.float32)) & (mask_b > 0.5)
+    ks = jnp.arange(K, dtype=jnp.int32)
+    return jnp.sum(
+        jnp.where(hit, ks, 0), axis=-1, dtype=jnp.int32
+    )
 
 
 def _candidate_point_ids(
