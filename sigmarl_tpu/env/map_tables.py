@@ -207,7 +207,11 @@ def build_map_tables(
         seg_pts[k, sp.shape[0]:] = sp[-1]
 
     gid = np.asarray(group_ids, np.int32)
-    group_mask = np.stack([gid == g for g in range(4)], axis=0)
+    # Group count tracks the data (0=all plus any scenario groups present);
+    # the spawn sampler reads the one-hot width from this table's shape, so
+    # the two can never drift (ADVICE r3).
+    n_groups = max(4, int(gid.max()) + 1) if gid.size else 1
+    group_mask = np.stack([gid == g for g in range(n_groups)], axis=0)
 
     from sigmarl_tpu.safety.pseudo_distance import segment_table
 

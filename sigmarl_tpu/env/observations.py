@@ -245,12 +245,17 @@ def observe(
     cfg: EnvConfig, tables: MapTables, state: WorldState, key: Array
 ) -> Array:
     """Single-shot observation (no history threading): the n_observed_steps=1
-    fast path. With history enabled, callers use `observe_with_history`."""
-    obs = observe_core(cfg, tables, state, key)
+    fast path. With history enabled (`n_observed_steps > 1`) there is no
+    valid single-shot observation — callers must thread state through
+    `observe_with_history`; anything else would silently fabricate history
+    by duplicating the current features."""
     if cfg.n_observed_steps > 1:
-        # Without a threaded history the current features stand in for every
-        # observed step (the exact post-reset semantics of the history path).
-        obs = jnp.concatenate([obs] * cfg.n_observed_steps, axis=-1)
+        raise ValueError(
+            "observe() cannot produce n_observed_steps="
+            f"{cfg.n_observed_steps} observations without a threaded history; "
+            "use observe_with_history()."
+        )
+    obs = observe_core(cfg, tables, state, key)
     return _finalize(cfg, obs, key)
 
 

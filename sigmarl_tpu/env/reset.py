@@ -50,11 +50,11 @@ def _sample_candidate_paths(
     identical distribution to the earlier Gumbel categorical over masked
     logits at a fraction of the cost (no [shape, K] exp/log/argmax sweep).
     """
-    K = tables.group_mask.shape[-1]
-    mask = tables.group_mask  # [4, K] bool
+    G, K = tables.group_mask.shape
+    mask = tables.group_mask  # [G, K] bool
     # rank[g, k] = position of path k within group g's valid list (0-based).
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1  # [4, K]
-    n_valid = mask.sum(-1).astype(jnp.float32)  # [4]
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1  # [G, K]
+    n_valid = mask.sum(-1).astype(jnp.float32)  # [G]
 
     u = jax.random.uniform(key, shape)  # [..., T]
     nv = n_valid[scenario_id]  # [...-1] per env
@@ -62,7 +62,7 @@ def _sample_candidate_paths(
     idx = jnp.minimum((u * nv).astype(jnp.int32), (nv - 1).astype(jnp.int32))
 
     # Map rank -> path id via one-hot against the env's group rank table.
-    sel = jax.nn.one_hot(scenario_id, 4, dtype=jnp.float32)  # [B, 4]
+    sel = jax.nn.one_hot(scenario_id, G, dtype=jnp.float32)  # [B, G]
     rank_env = jnp.einsum("bg,gk->bk", sel, rank.astype(jnp.float32))  # [B, K]
     mask_env = jnp.einsum("bg,gk->bk", sel, mask.astype(jnp.float32))
     # onehot over ranks: path = argwhere(rank_env == idx & valid).
