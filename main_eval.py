@@ -79,6 +79,7 @@ def main():
             env.cfg,
             env.tables,
             decentralized=args.decentralized,
+            max_group_size=args.max_group_size if args.is_grouping_agents else 0,
         )
 
     if args.model_path:

@@ -81,6 +81,13 @@ class CBFConfig:
     w_u_steer: float = 1.0
     lane_slack_weight: float = 1e9
     pair_slack_weight: float = 1e9
+    # Grouped mode: slack weight of single-sided cross-group rows and the
+    # responsibility share each agent takes of a cross-group pair's
+    # relaxation (reference `cross_slack_weight` `cbf_qp.py:430`,
+    # `parameters.rs` `helper_common.py:126` — default 0.5: the pair's
+    # responsibility splits evenly).
+    cross_slack_weight: float = 1e9
+    rs: float = 0.5
     lambda_weight: float = 1e3
     h_nom: float = 0.2  # margin normalizer for CBF-informed rewards
     is_obs_noise: bool = False
@@ -200,6 +207,17 @@ class CBFSafetyFilter:
         self.M = self.M_lane + self.M_pair + self.M_clf
 
     # ------------------------------------------------------------ primitives
+    def _wl_value(self) -> float:
+        """The baseline (uniform, static) lambda penalty weight. In
+        non-grouped mode `assemble` fills the per-row wl arrays with exactly
+        this value and the Pallas solve path bakes it into the kernel
+        statically — both MUST read it from here so the two paths cannot
+        drift (ADVICE r3). Grouped mode makes wl row-varying (cross-group
+        lambdas are always lambda_weight-regularized) and is therefore
+        excluded from the Pallas path in `filter_actions`."""
+        cfg = self.cfg
+        return cfg.lambda_weight if cfg.adaptive_lambda_cost else 1e-9
+
     def rl_action_to_u(self, rl_actions: Array, v: Array, steering: Array):
         """(speed, steering) targets -> clamped (accel, steering rate)
         (reference `rl_action_to_u:461-497`; note the asymmetric speed clamp
@@ -457,21 +475,63 @@ class CBFSafetyFilter:
             # Decentralized QPs: each agent treats the other's control as
             # fixed (zero contribution) — drop the j-blocks.
             A_pj_f = jnp.zeros_like(A_pj_f)
+        # Lambda cost weight (single source shared with the Pallas solve
+        # path — see `_wl_value`); needed below by the grouped branch too.
+        wl = self._wl_value()
+
+        ws_p_arr = None
+        wl_p_arr = None
         if self.grouped and group_id is not None:
             from sigmarl_tpu.safety.grouping import same_group_mask
 
             same = same_group_mask(group_id, self._pair_i, self._pair_j)  # [B, P]
             same_k = jnp.broadcast_to(same[..., None], (B, P, Kp))
-            # Same-group rows stay coupled; cross-group rows split into an
-            # i-sided row plus a j-sided extra row.
+            # Same-group rows stay coupled. A cross-group pair splits into
+            # an i-sided and a j-sided row with the reference's
+            # responsibility-share semantics (`build_grouped_cbf_qps`,
+            # ref cbf_qp.py:1744-1757): each side carries HALF the drift
+            # constant b0 and an `rs` share of the h-relaxation with its
+            # own lambda, so the two sides together recover exactly the
+            # coupled row (with effective lambda = rs*(lam_i + lam_j)).
+            # Cross slacks use cross_slack_weight (`:1772`) and cross
+            # lambdas are ALWAYS lambda_weight-regularized (`:1785-1786`),
+            # even when adaptive_lambda is off.
+            if cfg.is_solve_qp:
+                b0_cross = 0.5 * b0_pf
+                h_cross = cfg.rs * h_pf
+            else:
+                # Inactive form (ref `:1778-1783`): full constant, lambda
+                # fixed at 1. The global non-adaptive fold below adds
+                # lambda_ttcbf*h to every row — pre-compensate so cross
+                # rows land at b0 + 1.0*h.
+                b0_cross = b0_pf + (1.0 - cfg.lambda_ttcbf) * h_pf
+                h_cross = h_pf
             extra_Ai = jnp.zeros_like(A_pi_f)
             extra_Aj = jnp.where(same_k[..., None], 0.0, A_pj_f)
             A_pj_f = jnp.where(same_k[..., None], A_pj_f, 0.0)
             A_pi_f = jnp.concatenate([A_pi_f, extra_Ai], axis=2)
             A_pj_f = jnp.concatenate([A_pj_f, extra_Aj], axis=2)
-            b0_pf = jnp.concatenate([b0_pf, b0_pf], axis=2)
-            h_pf = jnp.concatenate([h_pf, h_pf], axis=2)
+            b0_pf = jnp.concatenate(
+                [jnp.where(same_k, b0_pf, b0_cross), b0_cross], axis=2
+            )
+            h_pf = jnp.concatenate(
+                [jnp.where(same_k, h_pf, h_cross), h_cross], axis=2
+            )
             valid_p = jnp.concatenate([valid_p, ~same_k], axis=2)
+            ws_p_arr = jnp.concatenate(
+                [
+                    jnp.where(same_k, cfg.pair_slack_weight, cfg.cross_slack_weight),
+                    jnp.full((B, P, Kp), cfg.cross_slack_weight),
+                ],
+                axis=2,
+            )
+            wl_p_arr = jnp.concatenate(
+                [
+                    jnp.where(same_k, wl, cfg.lambda_weight),
+                    jnp.full((B, P, Kp), cfg.lambda_weight),
+                ],
+                axis=2,
+            )
             Kp = 2 * Kp
 
         adaptive = cfg.is_solve_qp
@@ -483,12 +543,13 @@ class CBFSafetyFilter:
             h_s = jnp.zeros_like(h_s)
             h_pf = jnp.zeros_like(h_pf)
 
-        # Lambda cost: the reference adds the quadratic lambda penalty only
-        # when parameters.adaptive_lambda is set; otherwise lambda is free in
-        # [0, 1] (`build_centralized_cbf_qp:927-931`) — modeled by a
-        # vanishing weight.
-        wl = cfg.lambda_weight if cfg.adaptive_lambda_cost else 1e-9
-
+        # The reference adds the quadratic lambda penalty only when
+        # parameters.adaptive_lambda is set; otherwise lambda is free in
+        # [0, 1] (`build_centralized_cbf_qp:927-931`) — modeled by the
+        # vanishing `wl` weight computed above. Non-grouped mode fills the
+        # wl arrays uniformly from `_wl_value` — the Pallas kernel's static
+        # scalar contract (ADVICE r3); grouped mode has row-varying wl/ws
+        # and therefore always solves through the XLA path.
         cons = StructuredConstraintSet(
             A_s=A_s,
             b_s=b0_s,
@@ -500,8 +561,16 @@ class CBFSafetyFilter:
             A_pj=A_pj_f,
             b_p=b0_pf,
             h_p=h_pf,
-            ws_p=jnp.full((B, P, Kp), cfg.pair_slack_weight),
-            wl_p=jnp.full((B, P, Kp), wl),
+            ws_p=(
+                ws_p_arr
+                if ws_p_arr is not None
+                else jnp.full((B, P, Kp), cfg.pair_slack_weight)
+            ),
+            wl_p=(
+                wl_p_arr
+                if wl_p_arr is not None
+                else jnp.full((B, P, Kp), wl)
+            ),
             valid_p=valid_p,
             pair_i=self._pair_i,
             pair_j=self._pair_j,
@@ -576,29 +645,38 @@ class CBFSafetyFilter:
         u_hi = jnp.asarray([self.a_max, self.rate_max])
         w_u = jnp.asarray([cfg.w_u_acc, cfg.w_u_steer])
 
-        use_pallas = (
-            cfg.use_pallas_qp
-            and jax.default_backend() == "tpu"
-            and self._pair_i.shape[0] > 0
-        )
-        if use_pallas:
+        def _solve_xla():
+            return solve_structured_qp(
+                cons, u_nom, w_u, u_lo, u_hi, n_iters=cfg.newton_iters,
+                u_init=u_init,
+            )
+
+        def _solve_pallas():
             from sigmarl_tpu.safety.qp import solve_structured_qp_pallas
 
-            wl_val = cfg.lambda_weight if cfg.adaptive_lambda_cost else 1e-9
-            u_star, F = solve_structured_qp_pallas(
+            return solve_structured_qp_pallas(
                 cons, u_nom, w_u, u_lo, u_hi, n_iters=cfg.newton_iters,
-                u_init=u_init, wl_val=wl_val,
+                u_init=u_init, wl_val=self._wl_value(),
                 static_bounds=(
                     (cfg.w_u_acc, cfg.w_u_steer),
                     (self.a_min, self.rate_min),
                     (self.a_max, self.rate_max),
                 ),
             )
-        else:
-            u_star, F = solve_structured_qp(
-                cons, u_nom, w_u, u_lo, u_hi, n_iters=cfg.newton_iters,
-                u_init=u_init,
+
+        # Grouped assembly has row-varying slack/lambda weights, which the
+        # Pallas kernel (static scalar wl) cannot represent — XLA path only.
+        if cfg.use_pallas_qp and self._pair_i.shape[0] > 0 and not self.grouped:
+            # Dispatch on the actual LOWERING platform, not the host's
+            # default backend: a TPU host tracing for a CPU mesh (or vice
+            # versa) gets the right solver (ADVICE r3). Only the selected
+            # platform's branch is lowered, so the Mosaic kernel never
+            # reaches a CPU compile.
+            u_star, F = jax.lax.platform_dependent(
+                tpu=_solve_pallas, default=_solve_xla
             )
+        else:
+            u_star, F = _solve_xla()
         solved = jnp.isfinite(F) & jnp.isfinite(u_star).all((-1, -2))
         u_star = jnp.where(solved[:, None, None], u_star, u_nom)
 
