@@ -6,11 +6,11 @@ Parity with reference `sigmarl/map_manager.py:13-40` (parser dispatch) —
 Raw map files are looked up in (first hit wins):
 
 1. `$SIGMARL_TPU_MAP_DIR`
-2. `sigmarl_tpu/maps/assets/`
-3. the reference dataset mount (`/root/reference/sigmarl/scenarios/assets/maps`)
+2. `sigmarl_tpu/maps/assets/` (shipped — see its README for provenance)
 
 Compiled caches live in `sigmarl_tpu/maps/cache/<scenario>.pkl` and are
-committed, making the package self-contained.
+committed; with both sources and caches in the package, a fresh clone is
+fully self-contained.
 """
 
 from __future__ import annotations
@@ -28,7 +28,6 @@ _CACHE_VERSION = 1
 _SEARCH_DIRS = [
     os.environ.get("SIGMARL_TPU_MAP_DIR", ""),
     os.path.join(_HERE, "assets"),
-    "/root/reference/sigmarl/scenarios/assets/maps",
 ]
 
 

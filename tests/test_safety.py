@@ -360,6 +360,34 @@ def test_cbf_demo_two_agents():
         assert np.abs(t["u"] - t["u_nom"]).max() > 1e-3
 
 
+def test_cbf_demo_rl_nominal():
+    """ECC25 demo with the RL-policy nominal controller (reference
+    `cbf.py:445-520`): the policy's actions replace the scripted nominal and
+    the filter (both-sided in bypassing, `cbf.py:524-529`) keeps the run
+    collision-free."""
+    import jax
+
+    from sigmarl_tpu.safety.cbf_demo import (
+        CBFDemoConfig,
+        fit_rl_nominal,
+        run_demo,
+    )
+
+    params, loss = fit_rl_nominal(
+        CBFDemoConfig(nominal="rl"), jax.random.PRNGKey(0), n_steps=1500
+    )
+    assert loss < 0.5, loss
+    for scen in ("overtaking", "bypassing"):
+        cfg = CBFDemoConfig(scenario=scen, sm_type="c2c", nominal="rl")
+        t = run_demo(cfg, rl_policy_params=params)
+        assert not t["collided"], (scen, t["h_min"])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_demo(CBFDemoConfig(nominal="rl"))
+
+
 def test_sm_predictor_learns():
     """The MTV safety-margin net learns the distance field (small budget)."""
     from sigmarl_tpu.safety.sm_predictor import SafetyMarginEstimatorModule
