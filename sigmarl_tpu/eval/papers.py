@@ -125,14 +125,27 @@ def ecc25_cbf_grid(out_dir: str = "outputs/ecc25") -> Dict:
     """Scenario x safety-margin-type grid of the standalone 2-agent CBF demo
     (reference `evaluation_ecc25.py`), with the per-run figure suite
     (trajectory footprints + h(t) + nominal-vs-filtered inputs)."""
-    from sigmarl_tpu.safety.cbf_demo import CBFDemoConfig, plot_demo, run_demo
+    import jax
+
+    from sigmarl_tpu.safety.cbf_demo import (
+        CBFDemoConfig,
+        fit_rl_nominal,
+        plot_demo,
+        run_demo,
+    )
+    from sigmarl_tpu.safety.sm_predictor import SafetyMarginEstimatorModule
 
     os.makedirs(out_dir, exist_ok=True)
+    # The learned MTV safety-margin network for the "mtv" column (the
+    # reference loads its released ECC25 checkpoint; trained here on exact
+    # MTV data, `sm_predictor.generate_training_data`).
+    sm_module = SafetyMarginEstimatorModule()
+    sm_module.train(epochs=60, verbose=False)
     results = {}
     for scen in ("overtaking", "bypassing"):
-        for sm in ("c2c", "grid"):
+        for sm in ("c2c", "mtv", "grid"):
             cfg = CBFDemoConfig(scenario=scen, sm_type=sm)
-            t = run_demo(cfg)
+            t = run_demo(cfg, sm_module=sm_module)
             fig = plot_demo(
                 t, cfg, os.path.join(out_dir, f"demo_{scen}_{sm}.png")
             )
@@ -141,6 +154,23 @@ def ecc25_cbf_grid(out_dir: str = "outputs/ecc25") -> Dict:
                 "collided": t["collided"],
                 "figure": fig,
             }
+    # RL-policy nominal controller (reference `cbf.py:445-520`): the same
+    # pipeline with a PolicyNet nominal instead of the scripted controller.
+    rl_params, bc_loss = fit_rl_nominal(
+        CBFDemoConfig(nominal="rl"), jax.random.PRNGKey(0)
+    )
+    for scen in ("overtaking", "bypassing"):
+        cfg = CBFDemoConfig(scenario=scen, sm_type="c2c", nominal="rl")
+        t = run_demo(cfg, rl_policy_params=rl_params)
+        fig = plot_demo(
+            t, cfg, os.path.join(out_dir, f"demo_{scen}_c2c_rlnom.png")
+        )
+        results[f"{scen}/c2c/rl_nominal"] = {
+            "h_min": t["h_min"],
+            "collided": t["collided"],
+            "figure": fig,
+            "bc_fit_loss": bc_loss,
+        }
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
     return results

@@ -44,6 +44,18 @@ Array = jax.Array
 class CBFDemoConfig:
     scenario: str = "overtaking"  # {"overtaking", "bypassing"}
     sm_type: str = "c2c"  # {"c2c", "mtv", "grid"}
+    # Nominal controller: "scripted" (speed-tracking + lane-centering PD) or
+    # "rl" — a PolicyNet evaluated on the reference demo's 9-feature
+    # observation (`cbf.py:445-520, 1827-1872`); pass its params to
+    # `run_demo(rl_policy_params=...)`.
+    nominal: str = "scripted"
+    # Whether agent j is also CBF-filtered. The reference's RL bypassing
+    # scenario drives agent j by its own greedy RL policy WITH CBF
+    # verification (`cbf.py:524-529`, `nomi_cont_j`); with j blind the
+    # head-on scenario is infeasible for any bounded ego policy. None =
+    # auto (True exactly for the RL bypassing combination, as in the
+    # reference; scripted runs keep j unfiltered at constant speed).
+    filter_other: bool | None = None
     dt: float = 0.05
     num_steps: int = 200
     alpha: float = -1.0  # class-K gain; <0 selects the per-scenario default
@@ -73,8 +85,115 @@ def _make_initial_states(cfg: CBFDemoConfig):
     return ego, other
 
 
+_RL_N_POINTS_REF = 3  # points on the short-term reference (ref `cbf.py:383`)
+
+
+def rl_observation(cfg: CBFDemoConfig, state: Array) -> Array:
+    """The demo's 9-feature RL observation (reference `observation`,
+    `cbf.py:1827-1872`): [v/v_max, steering/steer_max, 3 ego-view reference
+    points / (n_ref * spacing), d_ref / (2*width)]. The reference path is
+    the lane center (y = 0) sampled at `length`-spacing ahead of the agent
+    (`generate_reference_path:1003-1100`, stay-in-lane branch)."""
+    spacing = cfg.length  # rl_distance_between_points_ref_path (`:386`)
+    xs = state[0] + jnp.arange(1, _RL_N_POINTS_REF + 1) * spacing
+    ref = jnp.stack([xs, jnp.zeros(_RL_N_POINTS_REF)], axis=-1)  # [3, 2]
+    # Ego view (`observe_ego_view:1106-1117`).
+    vec = ref - state[0:2]
+    ang = jnp.arctan2(vec[:, 1], vec[:, 0]) - state[2]
+    norm = jnp.linalg.norm(vec, axis=-1)
+    ego_view = jnp.stack([norm * jnp.cos(ang), norm * jnp.sin(ang)], axis=-1)
+    norm_pos = spacing * _RL_N_POINTS_REF
+    d_ref = jnp.abs(state[1])  # perpendicular distance to the y=0 lane axis
+    return jnp.concatenate(
+        [
+            jnp.asarray(
+                [state[3] / AGENTS["max_speed"], state[4] / AGENTS["max_steering"]]
+            ),
+            (ego_view / norm_pos).reshape(-1),
+            jnp.asarray([d_ref / (cfg.width * 2)]),
+        ]
+    )
+
+
+def fit_rl_nominal(cfg: CBFDemoConfig, key: Array, n_steps: int = 400):
+    """Produce PolicyNet params for the demo's RL nominal controller.
+
+    The reference demo loads a pre-trained goal-reaching policy from a
+    released checkpoint (`cbf.py:499-505`); with no network egress here the
+    stand-in is a quick behavioral fit of the same PolicyNet architecture to
+    the scripted lane-tracking nominal over sampled demo states — the
+    resulting controller exercises the identical obs -> policy -> action ->
+    u pipeline.
+    """
+    import optax
+
+    from sigmarl_tpu.rl.networks import PolicyNet
+
+    policy = PolicyNet(act_dim=2)
+    low = jnp.asarray([AGENTS["min_speed"], AGENTS["min_steering"]])
+    high = jnp.asarray([AGENTS["max_speed"], AGENTS["max_steering"]])
+    params = policy.init(key, jnp.zeros((1, 9)))
+
+    def sample_states(k, n):
+        # Cover the full envelope the CBF filter can push the ego into
+        # (large headings / steering after an evasive maneuver), so the
+        # fitted policy issues sensible recovery actions there — the
+        # pre-squash regression below handles the saturated targets that
+        # dominate these corners.
+        ks = jax.random.split(k, 5)
+        x = jax.random.uniform(ks[0], (n,)) * 3.0
+        y = jax.random.uniform(ks[1], (n,), minval=-0.3, maxval=0.3)
+        psi = jax.random.uniform(ks[2], (n,), minval=-jnp.pi, maxval=jnp.pi)
+        v = jax.random.uniform(ks[3], (n,), minval=-0.5, maxval=1.0)
+        st = jax.random.uniform(ks[4], (n,), minval=-2.5, maxval=2.5)
+        return jnp.stack([x, y, psi, v, st], axis=-1)
+
+    def target_actions(states):
+        # The scripted nominal expressed as (speed, steering) TARGETS.
+        tv = jnp.full((states.shape[0],), cfg.ego_speed)
+        ts = jnp.clip(
+            -2.0 * states[:, 1] - 2.0 * states[:, 2],
+            AGENTS["min_steering"], AGENTS["max_steering"],
+        )
+        return jnp.stack([tv, ts], axis=-1)
+
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, k):
+        states = sample_states(k, 256)
+        obs = jax.vmap(lambda s: rl_observation(cfg, s))(states)
+        tgt = target_actions(states)
+
+        # Regress in PRE-squash space: MSE on the squashed action has a
+        # vanishing-gradient plateau once tanh saturates (an early Adam
+        # overshoot parks the fit at the bound); the pre-squash target is
+        # the exact inverse of tanh_normal_mode.
+        mid, half = (high + low) / 2, (high - low) / 2
+        z = jnp.arctanh(jnp.clip((tgt - mid) / half, -0.995, 0.995))
+
+        def loss_fn(p):
+            loc, scale = policy.apply(p, obs)
+            loc_c = 5.0 * jnp.tanh(loc / 5.0)
+            return jnp.mean((loc_c - z) ** 2) + jnp.mean(scale**2) * 1e-3
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = jnp.inf
+    for i in range(n_steps):
+        params, opt_state, loss = train_step(
+            params, opt_state, jax.random.fold_in(key, i)
+        )
+    return params, float(loss)
+
+
 def run_demo(
-    cfg: CBFDemoConfig, sm_module: SafetyMarginEstimatorModule | None = None
+    cfg: CBFDemoConfig,
+    sm_module: SafetyMarginEstimatorModule | None = None,
+    rl_policy_params=None,
 ) -> Dict[str, np.ndarray]:
     """Simulate the two-agent scenario with the ego's CBF-QP filter active."""
     bp = BicycleParams(
@@ -88,6 +207,12 @@ def run_demo(
 
     use_mtv = cfg.sm_type == "mtv" and sm_module is not None and sm_module.params is not None
     use_grid = cfg.sm_type == "grid"
+    use_rl_nominal = cfg.nominal == "rl" and rl_policy_params is not None
+    if cfg.nominal == "rl" and rl_policy_params is None:
+        raise ValueError("nominal='rl' needs rl_policy_params (see fit_rl_nominal)")
+    filter_other = cfg.filter_other
+    if filter_other is None:
+        filter_other = use_rl_nominal and cfg.scenario == "bypassing"
 
     # Rectangle outline sample points (4 corners + 1 midpoint per side,
     # matching the reference's num_point_*_side=1, `cbf.py:606-618`) and the
@@ -180,24 +305,83 @@ def run_demo(
         g = g_ddh
         c = c_ddh + 2 * alpha * h_dot + alpha * alpha * h
 
-        # Nominal: track target speed along x, steer to y = 0.
-        u_nom = jnp.asarray(
-            [
-                jnp.clip((cfg.ego_speed - ego[3]) / dt, -4.0, 4.0),
-                jnp.clip(
-                    (-2.0 * ego[1] - 2.0 * angle_eliminate_two_pi(ego[2]) - ego[4]) / dt,
-                    -jnp.pi,
-                    jnp.pi,
-                ),
-            ]
-        )
+        def rl_u_nom(state_vec):
+            # RL nominal (reference `cbf.py:1138-1155`): the policy's
+            # deterministic (speed, steering) targets converted to
+            # (accel, steering rate) via `rl_acrion_to_u` (`:1876-1888`).
+            from sigmarl_tpu.rl.networks import PolicyNet, tanh_normal_mode
+
+            loc, _ = PolicyNet(act_dim=2).apply(
+                rl_policy_params, rl_observation(cfg, state_vec)[None]
+            )
+            low = jnp.asarray([AGENTS["min_speed"], AGENTS["min_steering"]])
+            high = jnp.asarray([AGENTS["max_speed"], AGENTS["max_steering"]])
+            tgt = tanh_normal_mode(loc, low, high)[0]
+            return jnp.asarray(
+                [
+                    jnp.clip((tgt[0] - state_vec[3]) / dt, -4.0, 4.0),
+                    jnp.clip((tgt[1] - state_vec[4]) / dt, -jnp.pi, jnp.pi),
+                ]
+            )
+
+        if use_rl_nominal:
+            u_nom = rl_u_nom(ego)
+        else:
+            # Scripted nominal: track target speed along x, steer to y = 0.
+            u_nom = jnp.asarray(
+                [
+                    jnp.clip((cfg.ego_speed - ego[3]) / dt, -4.0, 4.0),
+                    jnp.clip(
+                        (-2.0 * ego[1] - 2.0 * angle_eliminate_two_pi(ego[2]) - ego[4]) / dt,
+                        -jnp.pi,
+                        jnp.pi,
+                    ),
+                ]
+            )
         Q = 2 * jnp.eye(2) * jnp.asarray([10.0, 1.0])
         q = -Q @ u_nom
         u = _solve_single_constraint_qp(Q, q, g, c)
         u = jnp.clip(u, jnp.asarray([-4.0, -jnp.pi]), jnp.asarray([4.0, jnp.pi]))
 
+        if filter_other:
+            # Agent j: greedy nominal + its OWN CBF verification (reference
+            # `cbf.py:524-529, 1158-1176`). j's lane runs in the -x
+            # direction; the world rotated by pi maps it onto the policy's
+            # +x convention (rotation, not reflection — the bicycle
+            # dynamics and the lane-tracking task are equivariant under it,
+            # and (speed, steering) targets are frame-invariant).
+            other_rot = jnp.asarray(
+                [
+                    -other[0], -other[1],
+                    angle_eliminate_two_pi(other[2] - jnp.pi),
+                    other[3], other[4],
+                ]
+            )
+            if use_rl_nominal:
+                u_nom_j = rl_u_nom(other_rot)
+            else:
+                u_nom_j = jnp.asarray(
+                    [
+                        jnp.clip((cfg.other_speed - other[3]) / dt, -4.0, 4.0),
+                        jnp.clip(
+                            (-2.0 * other_rot[1]
+                             - 2.0 * other_rot[2] - other[4]) / dt,
+                            -jnp.pi, jnp.pi,
+                        ),
+                    ]
+                )
+            # j's one-sided psi2 condition: control enters through dyn(other).
+            B_j = jax.jacfwd(lambda uu: dyn(other, uu))(u0)
+            g_j = B_j.T @ hd_o
+            u_j = _solve_single_constraint_qp(Q, -Q @ u_nom_j, g_j, c)
+            u_j = jnp.clip(
+                u_j, jnp.asarray([-4.0, -jnp.pi]), jnp.asarray([4.0, jnp.pi])
+            )
+        else:
+            u_j = jnp.zeros(2)
+
         ego_n, _, _ = bicycle_step(bp, ego, u, dt)
-        other_n, _, _ = bicycle_step(bp, other, jnp.zeros(2), dt)
+        other_n, _, _ = bicycle_step(bp, other, u_j, dt)
         out = {
             "ego": ego,
             "other": other,
