@@ -103,6 +103,32 @@ def perpendicular_distances(
     return dist, idx
 
 
+def min_perpendicular_distance(point: Array, polyline: Array) -> Array:
+    """Minimum distance only — no closest index, no padding correction.
+
+    Exactly equals `perpendicular_distances(...)[0]` for padded polylines
+    whose padding repeats the last valid point: every padded segment
+    degenerates to that point, so its query distance is the point distance
+    |q - p_last|, which is >= the distance to the last real segment
+    (a segment containing p_last) — the padding can never produce the
+    minimum, and the correction that rewrites padded entries with the last
+    real segment's distance cannot change `min(d)` either. Dropping the
+    argmin and the correction leaves ONE fused reduction over the
+    [..., P-1] distance tensor instead of three passes — the production
+    vertex sweeps' hot path (update_geometry: 4 corners x 2 boundaries at
+    [B, N, 4, P]; measured 1.9 ms -> see PROFILE_r04.md).
+    """
+    starts = polyline[..., :-1, :]
+    vecs = polyline[..., 1:, :] - starts
+    rel = point[..., None, :] - starts
+    len2 = jnp.sum(vecs * vecs, axis=-1)
+    t = jnp.sum(rel * vecs, axis=-1) / jnp.maximum(len2, 1e-12)
+    t = jnp.clip(t, 0.0, 1.0)
+    diff = starts + vecs * t[..., None] - point[..., None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    return jnp.sqrt(jnp.min(d2, axis=-1))
+
+
 def short_term_reference_path(
     polyline: Array,
     index_closest_point: Array,

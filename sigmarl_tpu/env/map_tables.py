@@ -256,13 +256,11 @@ def build_map_tables(
     sp_dr0, sp_idx_right = G.perpendicular_distances(
         lt_j, rb_j[:, None], n_rb_j[:, None]
     )
+    # Same min-only corner sweep as the runtime `update_geometry`, so the
+    # gathered spawn values are bit-identical to a recompute at the pose.
     v4 = sp_verts[..., 0:4, :]  # [K, P, 4, 2]
-    sp_dlv, _ = G.perpendicular_distances(
-        v4, lb_j[:, None, None], n_lb_j[:, None, None]
-    )
-    sp_drv, _ = G.perpendicular_distances(
-        v4, rb_j[:, None, None], n_rb_j[:, None, None]
-    )
+    sp_dlv = G.min_perpendicular_distance(v4, lb_j[:, None, None])
+    sp_drv = G.min_perpendicular_distance(v4, rb_j[:, None, None])
     spawn_d_left = jnp.concatenate([(sp_dl0 - half_w)[..., None], sp_dlv], -1)
     spawn_d_right = jnp.concatenate([(sp_dr0 - half_w)[..., None], sp_drv], -1)
 

@@ -53,6 +53,12 @@ def update_geometry(
     rb = lookup(oh, tables.right_boundary)
     n_lb = lookup(oh, tables.n_points_left_b)
     n_rb = lookup(oh, tables.n_points_right_b)
+    # Materialize the per-agent polylines ONCE: each has several consumers
+    # (center sweep, corner sweep, interX) and without the barrier XLA
+    # duplicates the one-hot lookup einsum into every consumer fusion —
+    # measured 1.3 ms/step of redundant MXU work at B=1024
+    # (scripts/profile_geom_bisect.py, PROFILE_r04.md).
+    lt, lb, rb = jax.lax.optimization_barrier((lt, lb, rb))
 
     d_ref, idx_ref = G.perpendicular_distances(pos, lt, n_lt)
 
@@ -60,9 +66,13 @@ def update_geometry(
     dl0, idx_left = G.perpendicular_distances(pos, lb, n_lb)
     dr0, idx_right = G.perpendicular_distances(pos, rb, n_rb)
     # The four corner vertices against each boundary, via a broadcast axis.
+    # min-only sweep: the corner distances need neither the closest index
+    # nor the padding correction (see `min_perpendicular_distance` — the
+    # padded entries provably cannot win the min), which collapses the
+    # [B, N, 4, P] intermediates to one fused reduction.
     v4 = verts[..., 0:4, :]  # [B, N, 4, 2]
-    dlv, _ = G.perpendicular_distances(v4, lb[..., None, :, :], n_lb[..., None])
-    drv, _ = G.perpendicular_distances(v4, rb[..., None, :, :], n_rb[..., None])
+    dlv = G.min_perpendicular_distance(v4, lb[..., None, :, :])
+    drv = G.min_perpendicular_distance(v4, rb[..., None, :, :])
     d_left = jnp.concatenate([(dl0 - half_w)[..., None], dlv], axis=-1)  # [B,N,5]
     d_right = jnp.concatenate([(dr0 - half_w)[..., None], drv], axis=-1)
     d_boundary = jnp.minimum(d_left.min(-1), d_right.min(-1))
