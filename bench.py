@@ -36,12 +36,22 @@ def main():
 
     import os as _os
 
-    B = int(_os.environ.get("BENCH_B", 1024))  # B=4096 measured slightly slower (57.0k vs 63.6k steps/s) — batch scaling saturates at 1024 on one chip
+    # Per-chip throughput peaks at B~512-1024 and decays smoothly above
+    # (B=512: 123.3k, 1024: 121.4k, 2048: 109.4k, 4096 monolithic: 97.3k
+    # steps/s — the broadcast-heavy geometry/constraint chains stream HBM
+    # ~1.6x slower per element at 4x the working set). Larger requested
+    # batches are therefore tiled into serial CHUNK-sized sub-batches via
+    # lax.map — semantics-identical (every env is independent) and each
+    # sub-batch runs at the sweet spot.
+    B = int(_os.environ.get("BENCH_B", 1024))
+    CHUNK = int(_os.environ.get("BENCH_CHUNK", 1024))
+    n_sub = B // CHUNK if (B > CHUNK and B % CHUNK == 0) else 1
+    Bc = B // n_sub
     N, T = 15, 32
     p = Parameters(
         scenario_type="cpm_entire",
         n_agents=N,
-        num_vmas_envs=B,
+        num_vmas_envs=Bc,
         dt=0.1,
         max_steps=1_000_000,  # no episode-end resets during the bench
         is_use_mtv_distance=False,
@@ -71,16 +81,32 @@ def main():
     low = -env.action_limits
     high = env.action_limits
 
+    def one_step(state, obs, k):
+        k_act, k_env = jax.random.split(k)
+        loc, scale = policy.apply(params, obs)
+        action, _ = tanh_normal_sample(k_act, loc, scale, low, high)
+        state, obs, reward, done, _ = cbf_filtered_step(
+            env, cbf, state, action, k_env
+        )
+        return state, obs, reward.mean()
+
     def rollout_chunk(state, obs, key):
         def body(carry, k):
             state, obs = carry
-            k_act, k_env = jax.random.split(k)
-            loc, scale = policy.apply(params, obs)
-            action, _ = tanh_normal_sample(k_act, loc, scale, low, high)
-            state, obs, reward, done, _ = cbf_filtered_step(
-                env, cbf, state, action, k_env
-            )
-            return (state, obs), reward.mean()
+            if n_sub == 1:
+                state, obs, r = one_step(state, obs, k)
+            else:
+                # Serial micro-batch tiling: state/obs carry a leading
+                # [n_sub] axis; each sub-batch steps at the sweet spot.
+                def one(args):
+                    s, o, kk = args
+                    return one_step(s, o, kk)
+
+                state, obs, r = jax.lax.map(
+                    one, (state, obs, jax.random.split(k, n_sub))
+                )
+                r = r.mean()
+            return (state, obs), r
 
         (state, obs), rews = jax.lax.scan(body, (state, obs), jax.random.split(key, T))
         return state, obs, rews.mean()
@@ -90,7 +116,12 @@ def main():
     # Warmup chunk from the zero state: compiles the single program and lets
     # the in-graph auto-reset establish a valid state.
     state = zero_state(env.cfg)
-    obs = jnp.zeros((B, N, env.obs_dim))
+    obs = jnp.zeros((Bc, N, env.obs_dim))
+    if n_sub > 1:
+        state = jax.tree.map(
+            lambda x: jnp.zeros((n_sub, *x.shape), x.dtype), state
+        )
+        obs = jnp.zeros((n_sub, Bc, N, env.obs_dim))
     t0 = time.perf_counter()
     state, obs, r = rollout(state, obs, jax.random.PRNGKey(1))
     jax.block_until_ready(r)
@@ -114,6 +145,7 @@ def main():
                 "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
                 "detail": {
                     "batch": B,
+                    "chunks": n_sub,
                     "n_agents": N,
                     "n_circles": 3,
                     "compile_s": round(compile_s, 1),

@@ -205,18 +205,67 @@ def spawn_positions(
     return pos, rot, path_id, point_id
 
 
+def _spawn_positions_compact(
+    cfg: EnvConfig,
+    tables: MapTables,
+    key: Array,
+    scenario_id: Array,
+    prev_pos: Array,
+    reset_mask: Array,
+    budget: int,
+) -> Tuple[Array, Array, Array, Array]:
+    """`spawn_positions` over only the (<= budget) resetting envs.
+
+    Static-size compaction: the resetting env rows are gathered into a
+    fixed [budget] slot array, spawned there, and scattered back — the
+    candidate sampling / position materialization / feasibility scan all
+    run at budget instead of B. The caller MUST guarantee
+    `reset_mask.any(-1).sum() <= budget` (via `lax.cond`, falling back to
+    the full-width path otherwise); surplus slots are inert (empty mask,
+    out-of-range scatter index dropped). The chosen-pose distribution is
+    identical to the full path; only the RNG stream layout differs.
+    """
+    B, N = prev_pos.shape[:2]
+    env_any = reset_mask.any(-1)
+    # slot[b] = compacted position of env b (resetting envs only).
+    slot = jnp.where(env_any, jnp.cumsum(env_any) - 1, budget)  # [B]
+    idx = (
+        jnp.full((budget,), B, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(B, dtype=jnp.int32), mode="drop")
+    )
+    valid = idx < B
+    idx_c = jnp.minimum(idx, B - 1)  # clamp for the gathers; masked below
+    sub_mask = reset_mask[idx_c] & valid[:, None]
+    pos_s, rot_s, path_s, pt_s = spawn_positions(
+        cfg, tables, key, scenario_id[idx_c], prev_pos[idx_c], sub_mask
+    )
+    scatter = lambda full, sub: full.at[idx].set(sub, mode="drop")
+    return (
+        scatter(prev_pos, pos_s),
+        scatter(jnp.zeros((B, N), rot_s.dtype), rot_s),
+        scatter(jnp.zeros((B, N), jnp.int32), path_s),
+        scatter(jnp.zeros((B, N), jnp.int32), pt_s),
+    )
+
+
 def apply_reset(
     cfg: EnvConfig,
     tables: MapTables,
     state: WorldState,
     reset_mask: Array,
     key: Array,
+    compact_budget: int = 0,
 ) -> WorldState:
     """(Re)spawn the masked agents and refresh all derived state.
 
     Covers the reference's `reset_world_at` for full-env resets
     (`reset_mask[b, :] = True`) and single-agent resets in testing mode /
     entry-exit recycling (`road_traffic.py:816-923`).
+
+    `compact_budget > 0` routes the spawn through the static-size
+    compaction (`_spawn_positions_compact`); the caller guarantees the
+    resetting-env count fits the budget.
     """
     B, N = state.pos.shape[:2]
     k_scen, k_spawn, k_speed = jax.random.split(key, 3)
@@ -229,9 +278,15 @@ def apply_reset(
         full_env_reset, new_scenario, state.scenario_id[:, 0]
     )
 
-    pos, rot, path_id, point_id = spawn_positions(
-        cfg, tables, k_spawn, scenario_id_env, state.pos, reset_mask
-    )
+    if compact_budget > 0:
+        pos, rot, path_id, point_id = _spawn_positions_compact(
+            cfg, tables, k_spawn, scenario_id_env, state.pos, reset_mask,
+            compact_budget,
+        )
+    else:
+        pos, rot, path_id, point_id = spawn_positions(
+            cfg, tables, k_spawn, scenario_id_env, state.pos, reset_mask
+        )
 
     speed_new = jax.random.uniform(k_speed, (B, N)) * cfg.max_speed
     vel_new = jnp.stack(

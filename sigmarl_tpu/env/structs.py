@@ -104,8 +104,14 @@ class EnvConfig:
     reset_agent_fixed_duration: int = 0
     cpm_scenario_probabilities: Tuple[float, float, float] = (1.0, 0.0, 0.0)
     n_steps_stored: int = 10
-    # Spawn sampling
-    max_spawn_tries: int = 20
+    # Spawn sampling: candidates drawn per respawning agent. The chosen
+    # candidate distribution is budget-independent (first feasible of an
+    # iid stream); the budget only bounds the all-infeasible fallback.
+    # Measured on the bench workload (scripts/profile_reset.py, B=1024,
+    # 15 agents respawning together): choice index p99.9 = 6, max = 9,
+    # all-infeasible never observed — 12 leaves 3 sigma of headroom at
+    # 60% of the spawn-path cost of the previous 20.
+    max_spawn_tries: int = 12
     # Challenging initial-state buffer (reference `InitialStateBuffer`)
     is_challenging_initial_state_buffer: bool = False
     challenge_buffer_size: int = 100

@@ -169,3 +169,51 @@ def test_testing_mode_partial_reset():
     assert d01 >= env.cfg.reset_agent_min_distance - 1e-6
     # Agents 2, 3 were untouched.
     np.testing.assert_allclose(np.asarray(state2.pos[1]), np.asarray(state2.pos[1]))
+
+
+def test_compact_spawn_equals_full_when_all_reset(env_and_state):
+    """Static-size reset compaction (env.py step): with every env
+    resetting and budget == B, the compaction gather is the identity, so
+    the compact path must reproduce the full-width spawn bit-for-bit
+    (same key -> same draws)."""
+    from sigmarl_tpu.env.reset import _spawn_positions_compact, spawn_positions
+
+    env, state, obs = env_and_state
+    B, N = state.pos.shape[:2]
+    mask = jnp.ones((B, N), bool)
+    scen = state.scenario_id[:, 0]
+    key = jax.random.PRNGKey(7)
+    full = jax.jit(lambda: spawn_positions(
+        env.cfg, env.tables, key, scen, state.pos, mask))()
+    comp = jax.jit(lambda: _spawn_positions_compact(
+        env.cfg, env.tables, key, scen, state.pos, mask, B))()
+    for a, b in zip(full, comp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compact_reset_semantics_partial(env_and_state):
+    """Compact apply_reset with a partial env subset: reset envs get
+    feasible on-path spawns, non-reset envs are untouched."""
+    from sigmarl_tpu.env.reset import apply_reset
+
+    env, state, obs = env_and_state
+    B, N = state.pos.shape[:2]
+    reset_envs = jnp.zeros((B,), bool).at[jnp.asarray([1, 4, 6])].set(True)
+    mask = jnp.broadcast_to(reset_envs[:, None], (B, N))
+    out = jax.jit(lambda s: apply_reset(
+        env.cfg, env.tables, s, mask, jax.random.PRNGKey(3), compact_budget=5
+    ))(state)
+    pos0, pos1 = np.asarray(state.pos), np.asarray(out.pos)
+    keep = ~np.asarray(reset_envs)
+    np.testing.assert_array_equal(pos1[keep], pos0[keep])
+    # Reset envs: poses are exactly (path, point) table entries.
+    K, P = env.tables.long_term.shape[:2]
+    flat = np.asarray(out.path_id) * P + np.asarray(out.point_id)
+    table = np.asarray(env.tables.long_term).reshape(K * P, 2)
+    sel = np.asarray(reset_envs)
+    np.testing.assert_allclose(pos1[sel], table[flat[sel]], atol=1e-6)
+    # Feasibility: pairwise min distance in reset envs.
+    d = np.linalg.norm(pos1[:, :, None] - pos1[:, None, :], axis=-1)
+    d[:, np.eye(N, dtype=bool)] = 1e9
+    assert (d[sel].min((1, 2)) >= env.cfg.reset_agent_min_distance - 1e-6).all()
+    assert (np.asarray(out.step)[sel] == 0).all()
