@@ -273,7 +273,9 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
             g_cap, _ = dF(a_cap)
             lo_a = jnp.zeros_like(a_cap)
             hi_a = a_cap
-            for _ in range(8):
+            # 4 bisections (see safety/qp.py line-search comment: certified
+            # with the 2-step polish; halves the dominant line-search cost).
+            for _ in range(4):
                 mid = 0.5 * (lo_a + hi_a)
                 pos = dF(mid)[0] > 0
                 hi_a = jnp.where(pos, mid, hi_a)
