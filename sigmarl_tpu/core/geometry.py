@@ -259,6 +259,57 @@ def interx(L1: Array, L2: Array) -> Array:
     return jnp.any(C1 & C2, axis=(-2, -1))
 
 
+def rect_polyline_hit(
+    pos: Array, rot: Array, width: float, length: float, polyline: Array
+) -> Array:
+    """Whether a polyline crosses a (solid) oriented rectangle.
+
+    Exact segment-vs-box slab test in the rectangle's frame — the
+    TPU-cheap equivalent of `interx(rectangle_vertices(...), polyline)`
+    for CONTINUOUS polylines: a boundary segment overlapping the box
+    interior implies the polyline crosses the outline (a multi-segment
+    polyline larger than the box cannot sit entirely inside), and
+    vice versa. Semantics match interX's strictness: grazing contacts
+    (touching a corner / collinear along an edge) and degenerate padding
+    segments (repeated points) do not register. ~5x fewer vector ops than
+    the sign-product grid: one [..., P] chain instead of
+    [..., 4, P] + [..., 5, P-1] products.
+
+    Args:
+        pos: [..., 2]; rot: [...]; polyline: [..., P, 2]. Returns [...] bool.
+    """
+    c, s = jnp.cos(rot), jnp.sin(rot)
+    rel = polyline - pos[..., None, :]
+    x = c[..., None] * rel[..., 0] + s[..., None] * rel[..., 1]
+    y = -s[..., None] * rel[..., 0] + c[..., None] * rel[..., 1]
+    hl, hw = length / 2, width / 2
+
+    x0, y0 = x[..., :-1], y[..., :-1]
+    dx = x[..., 1:] - x0
+    dy = y[..., 1:] - y0
+    big = 1e30
+    eps = 1e-12
+
+    def slab(p0, d, h):
+        safe = jnp.where(jnp.abs(d) > eps, d, 1.0)
+        t1 = (-h - p0) / safe
+        t2 = (h - p0) / safe
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        degen = jnp.abs(d) <= eps
+        inside0 = (p0 > -h) & (p0 < h)
+        tmin = jnp.where(degen, jnp.where(inside0, -big, big), tmin)
+        tmax = jnp.where(degen, jnp.where(inside0, big, -big), tmax)
+        return tmin, tmax, degen
+
+    tminx, tmaxx, degx = slab(x0, dx, hl)
+    tminy, tmaxy, degy = slab(y0, dy, hw)
+    t_lo = jnp.maximum(jnp.maximum(tminx, tminy), 0.0)
+    t_hi = jnp.minimum(jnp.minimum(tmaxx, tmaxy), 1.0)
+    hit = (t_lo < t_hi) & ~(degx & degy)
+    return jnp.any(hit, axis=-1)
+
+
 def global_to_local(pos_i: Array, pos_j: Array, rot_i: Array) -> Array:
     """Transform points into an agent's ego frame.
 

@@ -91,8 +91,13 @@ def update_geometry(
         else:
             coll_agents = d_agents <= 0.0
 
-        # Agent-boundary collisions.
-        coll_lanelets = G.interx(verts, lb) | G.interx(verts, rb)
+        # Agent-boundary collisions: ego-frame segment-vs-box slab test —
+        # exact interX equivalent for continuous boundary polylines at ~5x
+        # fewer vector ops (see `G.rect_polyline_hit`; agreement with the
+        # interX path pinned by tests/test_geometry.py).
+        coll_lanelets = G.rect_polyline_hit(
+            pos, rot, cfg.agent_width, cfg.agent_length, lb
+        ) | G.rect_polyline_hit(pos, rot, cfg.agent_width, cfg.agent_length, rb)
 
         # Entry/exit segment crossings (meaningful for non-loop paths only).
         # All-loop maps (cpm_entire) resolve this at TRACE time — the loop

@@ -109,3 +109,32 @@ def test_interx_vs_numpy_oracle():
             assert interx_points(L1, L2).shape[0] >= 1
             agree += 1
     assert agree > 5  # sanity: a decent share of random pairs intersect
+
+
+def test_rect_polyline_hit_matches_interx():
+    """The slab-test lanelet collision path must agree with the interX
+    sign-product path (update_geometry uses the former; the reference's
+    semantics are the latter). Random rectangles vs wandering polylines
+    with degenerate padding tails."""
+    import jax
+    import jax.numpy as jnp
+
+    from sigmarl_tpu.core import geometry as G
+
+    key = jax.random.PRNGKey(42)
+    total_hits = 0
+    for i in range(8):
+        k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(key, i), 4)
+        B = 128
+        pos = jax.random.uniform(k1, (B, 2)) * 2.0
+        rot = jax.random.uniform(k2, (B,)) * 6.28
+        steps = jax.random.normal(k3, (B, 40, 2)) * 0.08
+        start = pos + jax.random.normal(k4, (B, 2)) * 0.3
+        poly = start[:, None] + jnp.cumsum(steps, axis=1)
+        poly = poly.at[:, -5:].set(poly[:, -6:-5])  # padding tail
+        verts = G.rectangle_vertices(pos, rot, 0.107, 0.22, True)
+        ref = np.asarray(G.interx(verts, poly))
+        new = np.asarray(G.rect_polyline_hit(pos, rot, 0.107, 0.22, poly))
+        np.testing.assert_array_equal(ref, new)
+        total_hits += int(ref.sum())
+    assert total_hits > 100  # the comparison actually exercised hits
