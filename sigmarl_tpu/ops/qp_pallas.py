@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sigmarl_tpu.safety.qp import _phi_grad, _phi_terms
+from sigmarl_tpu.safety.qp import _phi_grad, _phi_grad1, _phi_terms
 
 Array = jax.Array
 
@@ -257,6 +257,13 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
                   ).sum(0, keepdims=True)
             q2 = (wux * sx * sx + wuy * sy * sy).sum(0, keepdims=True)
 
+            def dF1(alpha):  # [1, T]; gradient only (bisection sign test)
+                dphi_as = _phi_grad1(r_s + alpha[None] * dr_s, HS, WSS, WLS)
+                dphi_ap = _phi_grad1(r_p + alpha[None] * dr_p, HP, WSP, WLP)
+                return (q1 + 2.0 * q2 * alpha
+                        + (dphi_as * dr_s).sum(0).sum(0, keepdims=True)
+                        + (dphi_ap * dr_p).sum(0).sum(0, keepdims=True))
+
             def dF(alpha):  # [1, T]
                 dphi_as, ddphi_as = _phi_grad(
                     r_s + alpha[None] * dr_s, HS, WSS, WLS)
@@ -270,14 +277,14 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
                        + (ddphi_ap * dr_p * dr_p).sum(0).sum(0, keepdims=True))
                 return g1, g2d
 
-            g_cap, _ = dF(a_cap)
+            g_cap = dF1(a_cap)
             lo_a = jnp.zeros_like(a_cap)
             hi_a = a_cap
             # 4 bisections (see safety/qp.py line-search comment: certified
             # with the 2-step polish; halves the dominant line-search cost).
             for _ in range(4):
                 mid = 0.5 * (lo_a + hi_a)
-                pos = dF(mid)[0] > 0
+                pos = dF1(mid) > 0
                 hi_a = jnp.where(pos, mid, hi_a)
                 lo_a = jnp.where(pos, lo_a, mid)
             alpha = 0.5 * (lo_a + hi_a)

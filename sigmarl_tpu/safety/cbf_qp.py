@@ -272,6 +272,9 @@ class CBFSafetyFilter:
             # Precomputed segment tables: per-agent gather (one-hot matmul)
             # of ready-made segment frames; the stencil scan is then pure
             # arithmetic — no per-step trigonometry over the boundary.
+            # (The transform-sharing `pseudo_distance_stencil` variant is
+            # 16% FEWER flops but its 5-D broadcast layout benches 14%
+            # slower end-to-end — kept as a tested alternative only.)
             lseg = lookup(oh, self.tables.left_seg)  # [B, N, S, 8]
             rseg = lookup(oh, self.tables.right_seg)
             d_left = pseudo_distance_seg(q, lseg).reshape(B, N, C, 9)

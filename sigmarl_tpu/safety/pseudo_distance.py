@@ -131,6 +131,53 @@ def segment_table(
     )
 
 
+def pseudo_distance_stencil(centers: Array, offsets: Array, seg: Array) -> Array:
+    """Pseudo distance at `centers[..., C, 2] + offsets[Q, 2]` — the
+    finite-difference stencil evaluation with the per-(center, segment)
+    frame transform SHARED across the Q world-frame stencil offsets.
+
+    Equivalent to `pseudo_distance_seg` on the C*Q expanded query set
+    (pinned by tests to fp32 reassociation tolerance), but transforms only
+    C center points + Q offsets per segment instead of C*Q queries: the
+    offset's segment-frame displacement (dox, doy) is center-independent
+    because the stencil offsets are world-axis constants (reference
+    `estimate_agent_2_lane_safety_margin:575-600` uses the same
+    world-frame grid).
+
+    Returns [..., C, Q].
+    """
+    pbx = seg[..., None, :, 0]  # [..., 1, S]
+    pby = seg[..., None, :, 1]
+    cos_t = seg[..., None, :, 2]
+    sin_t = seg[..., None, :, 3]
+    l = seg[..., None, None, :, 4]  # [..., 1, 1, S]
+    m_b = seg[..., None, None, :, 5]
+    m_t = seg[..., None, None, :, 6]
+    valid = seg[..., None, None, :, 7] > 0.5
+
+    # Center coordinates in each segment frame: [..., C, S].
+    rcx = centers[..., :, None, 0] - pbx
+    rcy = centers[..., :, None, 1] - pby
+    xc = cos_t * rcx + sin_t * rcy
+    yc = -sin_t * rcx + cos_t * rcy
+    # Offset displacements in each segment frame: [..., Q, S].
+    ox = offsets[:, None, 0]  # [Q, 1]
+    oy = offsets[:, None, 1]
+    cos_q = seg[..., None, :, 2]  # [..., 1, S] broadcasting vs [Q, 1]
+    sin_q = seg[..., None, :, 3]
+    dox = cos_q * ox + sin_q * oy  # [..., Q, S]
+    doy = -sin_q * ox + cos_q * oy
+
+    x = xc[..., :, None, :] + dox[..., None, :, :]  # [..., C, Q, S]
+    y = yc[..., :, None, :] + doy[..., None, :, :]
+    denom = l - y * (m_t - m_b)
+    lam = (x + y * m_b) / denom
+    nx = x - lam * l
+    dist = jnp.sqrt(nx * nx + y * y)
+    ok = valid & (lam >= 0) & (lam < 1)
+    return jnp.where(ok, dist, _BIG).min(axis=-1)
+
+
 def pseudo_distance_seg(points: Array, seg: Array) -> Array:
     """Pseudo distance against a precomputed segment table.
 

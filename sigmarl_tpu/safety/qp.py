@@ -51,6 +51,30 @@ class ConstraintSet(NamedTuple):
     valid: Array
 
 
+def _phi_grad1(r: Array, h: Array, ws: Array, wl: Array) -> Array:
+    """d phi / d r only — the bisection line search needs just the
+    gradient SIGN, so the curvature pass (and its two full-array
+    reductions at the call sites) is skipped there; the Newton polish
+    still uses `_phi_grad`."""
+    h_safe = jnp.where(jnp.abs(h) > 1e-12, h, 1.0)
+    lam0 = jnp.clip(-r / h_safe, 0.0, 1.0)
+    lam_stat = jnp.clip(-ws * h * r / (wl + ws * h * h), 0.0, 1.0)
+
+    def g(lam):
+        pen = jnp.maximum(0.0, -(r + h * lam))
+        return wl * lam * lam + ws * pen * pen
+
+    lam_best = jnp.zeros_like(r)
+    vals = g(lam_best)
+    for cand in (jnp.ones_like(r), lam0, lam_stat):
+        vk = g(cand)
+        take = vk < vals
+        vals = jnp.where(take, vk, vals)
+        lam_best = jnp.where(take, cand, lam_best)
+    pen = jnp.maximum(0.0, -(r + h * lam_best))
+    return -2.0 * ws * pen
+
+
 def _phi_grad(r: Array, h: Array, ws: Array, wl: Array) -> Tuple[Array, Array]:
     """(d phi / d r, d^2 phi / d r^2) — one cheap pass for line search."""
     h_safe = jnp.where(jnp.abs(h) > 1e-12, h, 1.0)
@@ -207,6 +231,13 @@ def solve_boxed_penalty_qp(
         q1 = jnp.sum(2.0 * w_u * (u - u_nom) * step, axis=-1)
         q2 = jnp.sum(w_u * step * step, axis=-1)
 
+        def dF1(alpha):
+            """Gradient only — the bisection needs just its sign."""
+            r_a = jnp.einsum("...md,...d->...m", cons.A, u) + cons.b + alpha[..., None] * dr
+            dphi_a = _phi_grad1(r_a, cons.h, cons.w_slack, cons.w_lambda)
+            dphi_a = jnp.where(cons.valid, dphi_a, 0.0)
+            return q1 + 2.0 * q2 * alpha + jnp.sum(dphi_a * dr, axis=-1)
+
         def dF(alpha):
             r_a = jnp.einsum("...md,...d->...m", cons.A, u) + cons.b + alpha[..., None] * dr
             dphi_a, ddphi_a = _phi_grad(r_a, cons.h, cons.w_slack, cons.w_lambda)
@@ -216,7 +247,7 @@ def solve_boxed_penalty_qp(
             g2d = 2.0 * q2 + jnp.sum(ddphi_a * dr * dr, axis=-1)
             return g1, g2d
 
-        g_cap, _ = dF(a_cap)
+        g_cap = dF1(a_cap)
         lo_a = jnp.zeros_like(a_cap)
         hi_a = a_cap
         # 4 bisections + the 2-step Newton polish below: each dF is a full
@@ -227,7 +258,7 @@ def solve_boxed_penalty_qp(
         # no tighter, 29.9k steps/s slower).
         for _ in range(4):
             mid = 0.5 * (lo_a + hi_a)
-            pos = dF(mid)[0] > 0
+            pos = dF1(mid) > 0
             hi_a = jnp.where(pos, mid, hi_a)
             lo_a = jnp.where(pos, lo_a, mid)
         alpha = 0.5 * (lo_a + hi_a)
@@ -594,6 +625,11 @@ def solve_structured_qp(
         q1 = jnp.sum(2.0 * w_u_c * (u - u_nom_t) * step, axis=(0, 1))  # [B]
         q2 = jnp.sum(w_u_c * step * step, axis=(0, 1))
 
+        def dF1(alpha):  # [B] -> [B]; gradient only (bisection sign test)
+            dphi_a = _phi_grad1(r + alpha[None] * dr, h, ws, wl)
+            dphi_a = jnp.where(valid, dphi_a, 0.0)
+            return q1 + 2.0 * q2 * alpha + jnp.sum(dphi_a * dr, axis=0)
+
         def dF(alpha):  # [B] -> ([B], [B])
             dphi_a, ddphi_a = _phi_grad(r + alpha[None] * dr, h, ws, wl)
             dphi_a = jnp.where(valid, dphi_a, 0.0)
@@ -602,7 +638,7 @@ def solve_structured_qp(
             g2d = 2.0 * q2 + jnp.sum(ddphi_a * dr * dr, axis=0)
             return g1, g2d
 
-        g_cap, _ = dF(a_cap)
+        g_cap = dF1(a_cap)
         lo_a = jnp.zeros_like(a_cap)
         hi_a = a_cap
         # 4 bisections + the 2-step Newton polish below: each dF is a full
@@ -613,7 +649,7 @@ def solve_structured_qp(
         # no tighter, 29.9k steps/s slower).
         for _ in range(4):
             mid = 0.5 * (lo_a + hi_a)
-            pos = dF(mid)[0] > 0
+            pos = dF1(mid) > 0
             hi_a = jnp.where(pos, mid, hi_a)
             lo_a = jnp.where(pos, lo_a, mid)
         alpha = 0.5 * (lo_a + hi_a)

@@ -485,3 +485,35 @@ def test_pseudo_distance_seg_table_matches_full():
             np.testing.assert_allclose(
                 np.asarray(d_seg), np.asarray(d_full), atol=1e-6
             )
+
+
+def test_pseudo_distance_stencil_matches_seg():
+    """The transform-sharing stencil evaluation (kept as an alternative;
+    measured slower end-to-end despite fewer flops) must agree with the
+    production per-query path."""
+    from sigmarl_tpu.constants import AGENTS
+    from sigmarl_tpu.env.map_tables import lookup, path_onehot
+    from sigmarl_tpu.safety.cbf_qp import _STENCIL
+    from sigmarl_tpu.safety.circles import CircleApproximation, circle_centers_world
+    from sigmarl_tpu.safety.pseudo_distance import (
+        pseudo_distance_seg,
+        pseudo_distance_stencil,
+    )
+
+    p = Parameters(
+        scenario_type="cpm_entire", n_agents=4, num_vmas_envs=8, dt=0.1,
+        is_use_mtv_distance=False, is_obs_noise=False,
+    )
+    env = make_env(p)
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    oh = path_onehot(state.path_id, env.tables.left_seg.shape[0])
+    lseg = lookup(oh, env.tables.left_seg)
+    C = 3
+    approx = CircleApproximation(AGENTS["length"], AGENTS["width"], C)
+    centers = circle_centers_world(approx, state.pos, state.rot)
+    offsets = jnp.asarray(_STENCIL) * jnp.asarray([0.02, 0.02])
+    B, N = state.pos.shape[:2]
+    q = (centers[..., None, :] + offsets).reshape(B, N, C * 9, 2)
+    a = pseudo_distance_seg(q, lseg).reshape(B, N, C, 9)
+    b = pseudo_distance_stencil(centers, offsets, lseg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
