@@ -141,6 +141,8 @@ def ecc25_cbf_grid(out_dir: str = "outputs/ecc25") -> Dict:
     # MTV data, `sm_predictor.generate_training_data`).
     sm_module = SafetyMarginEstimatorModule()
     sm_module.train(epochs=60, verbose=False)
+    from sigmarl_tpu.safety.cbf_demo import animate_demo
+
     results = {}
     for scen in ("overtaking", "bypassing"):
         for sm in ("c2c", "mtv", "grid"):
@@ -154,6 +156,12 @@ def ecc25_cbf_grid(out_dir: str = "outputs/ecc25") -> Dict:
                 "collided": t["collided"],
                 "figure": fig,
             }
+            if sm == "c2c":
+                # One mp4 per scenario (the reference demo is an animation;
+                # `cbf.py` FuncAnimation).
+                results[f"{scen}/{sm}"]["animation"] = animate_demo(
+                    t, cfg, os.path.join(out_dir, f"demo_{scen}_{sm}.mp4")
+                )
     # RL-policy nominal controller (reference `cbf.py:445-520`): the same
     # pipeline with a PolicyNet nominal instead of the scripted controller.
     rl_params, bc_loss = fit_rl_nominal(

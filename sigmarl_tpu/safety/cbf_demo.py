@@ -417,6 +417,65 @@ if __name__ == "__main__":
     main()
 
 
+def animate_demo(
+    traj: Dict[str, np.ndarray], cfg: CBFDemoConfig, out_file: str, fps: int = 20
+) -> str:
+    """mp4 animation of a demo run (reference `cbf.py` drives a matplotlib
+    FuncAnimation per frame, `update:1118-1626` / `setup_plot`): both
+    vehicle footprints, trails, and a live h(t) readout."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import cv2
+    import matplotlib.pyplot as plt
+
+    ego = np.asarray(traj["ego"])
+    other = np.asarray(traj["other"])
+    h = np.asarray(traj["h"])
+    T = ego.shape[0]
+    lh, wh = cfg.length / 2, cfg.width / 2
+    local = np.array([[lh, wh], [lh, -wh], [-lh, -wh], [-lh, wh]])
+
+    xs = np.concatenate([ego[:, 0], other[:, 0]])
+    ys = np.concatenate([ego[:, 1], other[:, 1]])
+    xlim = (xs.min() - 0.3, xs.max() + 0.3)
+    ylim = (ys.min() - 0.3, ys.max() + 0.3)
+
+    writer = None
+    stride = max(1, T // 200)  # cap at ~200 frames
+    for k in range(0, T, stride):
+        fig, ax = plt.subplots(figsize=(6, 4), dpi=100)
+        for state, color in ((ego[k], "tab:blue"), (other[k], "tab:red")):
+            c, s = np.cos(state[2]), np.sin(state[2])
+            R = np.array([[c, -s], [s, c]])
+            ax.add_patch(plt.Polygon(
+                local @ R.T + state[0:2], closed=True, facecolor=color,
+                alpha=0.8, edgecolor="k", lw=0.5,
+            ))
+        ax.plot(ego[: k + 1, 0], ego[: k + 1, 1], "tab:blue", lw=0.8)
+        ax.plot(other[: k + 1, 0], other[: k + 1, 1], "tab:red", lw=0.8)
+        ax.set_xlim(*xlim)
+        ax.set_ylim(*ylim)
+        ax.set_aspect("equal")
+        ax.set_title(
+            f"{cfg.scenario}/{cfg.sm_type}  t={k * cfg.dt:.2f}s  h={h[k]:+.3f}",
+            fontsize=9,
+        )
+        fig.tight_layout()
+        fig.canvas.draw()
+        frame = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        plt.close(fig)
+        if writer is None:
+            hgt, wdt = frame.shape[:2]
+            writer = cv2.VideoWriter(
+                out_file, cv2.VideoWriter_fourcc(*"mp4v"), fps, (wdt, hgt)
+            )
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    if writer is not None:
+        writer.release()
+    return out_file
+
+
 def plot_demo(traj: Dict[str, np.ndarray], cfg: CBFDemoConfig, out_file: str):
     """Figure suite for one demo run (reference `cbf.py:2131-2974` distilled:
     trajectory footprints, barrier value h(t), and nominal-vs-filtered

@@ -217,3 +217,36 @@ def test_compact_reset_semantics_partial(env_and_state):
     d[:, np.eye(N, dtype=bool)] = 1e9
     assert (d[sel].min((1, 2)) >= env.cfg.reset_agent_min_distance - 1e-6).all()
     assert (np.asarray(out.step)[sel] == 0).all()
+
+
+def test_interactive_session_headless():
+    """The interactive keyboard session (reference `render_interactively`,
+    road_traffic.py:2229-2235) drives agent 0 by key events while the rest
+    follow pure pursuit — exercised headless through the session object."""
+    from sigmarl_tpu.env.interactive import InteractiveSession
+
+    sess = InteractiveSession("cpm_entire", n_agents=4, control_two_agents=True)
+    for k in ("up", "up", "left", "w", "d"):
+        sess.key(k)
+    assert sess.targets[0, 0] == pytest.approx(0.2)
+    assert sess.targets[0, 1] == pytest.approx(0.1)
+    assert sess.targets[1, 0] == pytest.approx(0.1)
+    assert sess.targets[1, 1] == pytest.approx(-0.1)
+    acts = np.asarray(sess.actions())
+    np.testing.assert_allclose(acts[0, 0], [0.2, 0.1], atol=1e-6)
+    np.testing.assert_allclose(acts[0, 1], [0.1, -0.1], atol=1e-6)
+    p0 = np.asarray(sess.state.pos[0, 0])
+    for _ in range(5):
+        rew, done = sess.step()
+    assert sess.t == 5
+    # The manual agent actually moved under its speed target.
+    assert np.linalg.norm(np.asarray(sess.state.pos[0, 0]) - p0) > 1e-3
+    # Bounds clamp: pumping the key never exceeds the action limits.
+    for _ in range(50):
+        sess.key("up")
+    assert sess.targets[0, 0] <= sess.env.cfg.max_speed + 1e-6
+    # Reset and quit keys.
+    sess.key("r")
+    assert sess.t == 0
+    sess.key("q")
+    assert sess.quit
