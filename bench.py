@@ -6,15 +6,27 @@ centralized CBF-QP safety filter (constraint assembly + projected-Newton
 solve for all envs), and the environment step, all in one compiled
 program. Target: 1e5 steps/s/chip.
 
-Exactly one XLA program is compiled (the T-step rollout chunk): the warmup
-chunk starts from the all-zero world state, whose guaranteed collision
-triggers the in-graph auto-reset — so no separate reset program is needed
-(remote compiles through the chip tunnel cost minutes each).
+One invocation measures BOTH BASELINE framings and reports them in the
+single JSON line:
+  - B=1024 (the per-chip sweet spot; `value` / `vs_baseline`)
+  - B=4096 chunked 4x1024 (`detail.b4096_chunked` / `detail.vs_baseline_b4096`)
+    — the BASELINE config-#5 batch, tiled into serial sweet-spot
+    sub-batches via lax.map inside the jitted program (semantics-identical
+    for independent envs; monolithic B=4096 streams HBM ~1.6x slower per
+    element).
+Set BENCH_B to measure a single custom framing instead.
+
+Exactly one XLA program is compiled per framing (the T-step rollout
+chunk): the warmup chunk starts from the all-zero world state, whose
+guaranteed collision triggers the in-graph auto-reset — so no separate
+reset program is needed (remote compiles through the chip tunnel cost
+minutes each).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -23,10 +35,10 @@ import jax.numpy as jnp
 BASELINE_STEPS_PER_S = 1.0e5
 
 
-def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def measure(B: int, chunk: int = 1024, n_chunks: int = 5):
+    """Compile and time the CBF-filtered rollout at batch B.
 
+    Returns (steps_per_s, compile_s, n_sub)."""
     from sigmarl_tpu.config import Parameters
     from sigmarl_tpu.env import make_env
     from sigmarl_tpu.env.structs import zero_state
@@ -34,18 +46,7 @@ def main():
     from sigmarl_tpu.safety import CBFConfig, CBFSafetyFilter
     from sigmarl_tpu.safety.wrappers import cbf_filtered_step
 
-    import os as _os
-
-    # Per-chip throughput peaks at B~512-1024 and decays smoothly above
-    # (B=512: 123.3k, 1024: 121.4k, 2048: 109.4k, 4096 monolithic: 97.3k
-    # steps/s — the broadcast-heavy geometry/constraint chains stream HBM
-    # ~1.6x slower per element at 4x the working set). Larger requested
-    # batches are therefore tiled into serial CHUNK-sized sub-batches via
-    # lax.map — semantics-identical (every env is independent) and each
-    # sub-batch runs at the sweet spot.
-    B = int(_os.environ.get("BENCH_B", 1024))
-    CHUNK = int(_os.environ.get("BENCH_CHUNK", 1024))
-    n_sub = B // CHUNK if (B > CHUNK and B % CHUNK == 0) else 1
+    n_sub = B // chunk if (B > chunk and B % chunk == 0) else 1
     Bc = B // n_sub
     N, T = 15, 32
     p = Parameters(
@@ -127,15 +128,49 @@ def main():
     jax.block_until_ready(r)
     compile_s = time.perf_counter() - t0
 
-    n_chunks = 5
     t0 = time.perf_counter()
     for i in range(n_chunks):
         state, obs, r = rollout(state, obs, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(r)
     dt = time.perf_counter() - t0
 
-    env_steps = B * T * n_chunks
-    steps_per_s = env_steps / dt
+    return B * T * n_chunks / dt, compile_s, n_sub
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    N = 15
+    env_b = os.environ.get("BENCH_B")
+    chunk = int(os.environ.get("BENCH_CHUNK", 1024))
+    if env_b is not None:
+        B = int(env_b)
+        steps_per_s, compile_s, n_sub = measure(B, chunk)
+        detail = {"batch": B, "chunks": n_sub, "compile_s": round(compile_s, 1)}
+    else:
+        # Both BASELINE framings in one run: the B=1024 sweet spot is the
+        # headline; B=4096 (BASELINE config #5) runs chunked 4x1024.
+        B = 1024
+        steps_per_s, compile_s, _ = measure(1024, chunk)
+        v4096, compile4_s, n_sub4 = measure(4096, chunk)
+        detail = {
+            "batch": B,
+            "chunks": 1,
+            "compile_s": round(compile_s, 1),
+            "b4096_chunked": round(v4096, 1),
+            "vs_baseline_b4096": round(v4096 / BASELINE_STEPS_PER_S, 3),
+            "b4096_sub_batches": n_sub4,
+            "compile_b4096_s": round(compile4_s, 1),
+        }
+    detail.update(
+        {
+            "n_agents": N,
+            "n_circles": 3,
+            "qp_per_s": round(steps_per_s, 1),
+            "agent_steps_per_s": round(steps_per_s * N, 1),
+        }
+    )
     print(
         json.dumps(
             {
@@ -143,15 +178,7 @@ def main():
                 "value": round(steps_per_s, 1),
                 "unit": "env-steps/s/chip",
                 "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
-                "detail": {
-                    "batch": B,
-                    "chunks": n_sub,
-                    "n_agents": N,
-                    "n_circles": 3,
-                    "compile_s": round(compile_s, 1),
-                    "qp_per_s": round(steps_per_s, 1),
-                    "agent_steps_per_s": round(steps_per_s * N, 1),
-                },
+                "detail": detail,
             }
         )
     )

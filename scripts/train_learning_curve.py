@@ -1,10 +1,13 @@
-"""Real MAPPO training run producing the committed learning-curve
-artifact (VERDICT r3 item 5): episode reward improving and collision rate
-falling from the initial (random) policy to the trained one.
+"""Real MAPPO training runs producing the committed learning-curve
+artifact: episode reward improving and the distance-normalized collision
+rate falling from the initial (random) policy to the trained one,
+aggregated over seeds (mean +/- CI95 — the reference's aggregation
+protocol, `eva_at25/marl_aggregated_evaluation.py:29-53`).
 
 Writes LEARNING_CURVE.json (+ .png) at the repo root;
 tests/test_learning_curve.py asserts the artifact's claims. Run on the
-TPU chip (minutes); pass --quick for a smoke run.
+TPU chip (a few minutes for 3 seeds x 250 iters); pass --quick for a
+smoke run.
 
 Reference contract: `mappo_cavs.py:468-515` (best-model tracking over an
 improving reward curve)."""
@@ -55,25 +58,7 @@ def eval_policy(env, policy_net, params, key, steps=200):
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--n_iters", type=int, default=250)
-    ap.add_argument("--num_envs", type=int, default=128)
-    # The reference's torchrl default entropy_eps=1e-4 lets the policy's
-    # scale collapse under the 30-epoch batch reuse (measured: entropy
-    # +0.4 -> -11 with reward peaking at iter ~30 then decaying); 4e-3
-    # holds entropy near -1 and the curve climbs monotonically through
-    # 250 iterations. Exposed Parameters knob, not a trainer divergence.
-    ap.add_argument("--entropy_eps", type=float, default=4e-3)
-    ap.add_argument("--out", type=str, default=os.path.join(REPO, "LEARNING_CURVE.json"))
-    args = ap.parse_args()
-    if args.quick:
-        args.n_iters, args.num_envs = 3, 8
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+def run_seed(args, seed: int):
     from sigmarl_tpu.config import Parameters
     from sigmarl_tpu.rl.mappo_cavs import MAPPOCAVs
 
@@ -87,8 +72,8 @@ def main():
         is_use_mtv_distance=False,
         is_obs_noise=True,
         is_save_intermediate_model=False,
-        where_to_save="outputs/learning_curve/",
-        random_seed=0,
+        where_to_save=f"outputs/learning_curve/seed{seed}/",
+        random_seed=seed,
         entropy_eps=args.entropy_eps,
     )
     trainer = MAPPOCAVs(p)
@@ -102,38 +87,106 @@ def main():
     def cb(i, metrics):
         rew = float(metrics["episode_reward_mean"])
         history.append(rew)
-        if i % 5 == 0:
-            print(f"iter {i:3d} episode_reward_mean {rew:8.3f}", flush=True)
+        if i % 25 == 0:
+            print(f"seed {seed} iter {i:3d} episode_reward_mean {rew:8.3f}", flush=True)
 
     trainer.train(progress_callback=cb)
     train_s = time.time() - t0
     final_params = trainer._final_state.policy_params
 
-    ev_init = eval_policy(env, policy_net, init_params, jax.random.PRNGKey(100))
-    ev_final = eval_policy(env, policy_net, final_params, jax.random.PRNGKey(100))
-    print("initial policy:", ev_init)
-    print("trained policy:", ev_final)
+    # Eval key varies with the seed; initial vs final share it (paired).
+    k_eval = jax.random.PRNGKey(100 + seed)
+    ev_init = eval_policy(env, policy_net, init_params, k_eval)
+    ev_final = eval_policy(env, policy_net, final_params, k_eval)
+    print(f"seed {seed} initial:", ev_init)
+    print(f"seed {seed} trained:", ev_final)
+    return p, {
+        "seed": seed,
+        "train_wall_s": round(train_s, 1),
+        "reward_history": [round(r, 3) for r in history],
+        "eval_initial": ev_init,
+        "eval_final": ev_final,
+    }
 
-    w = max(1, min(5, len(history) // 4))
+
+def _ci95(x):
+    """Mean +/- CI95 half-width over the seed axis (t-approx at tiny n:
+    1.96 * s / sqrt(n) is the reference's formula,
+    `marl_aggregated_evaluation.py:29-53`)."""
+    x = np.asarray(x, float)
+    n = x.shape[0]
+    half = 1.96 * x.std(axis=0, ddof=1) / np.sqrt(n) if n > 1 else np.zeros(x.shape[1:])
+    return x.mean(axis=0), half
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--n_iters", type=int, default=250)
+    ap.add_argument("--num_envs", type=int, default=128)
+    ap.add_argument("--seeds", type=int, default=3)
+    # The reference's torchrl default entropy_eps=1e-4 lets the policy's
+    # scale collapse under the 30-epoch batch reuse (measured: entropy
+    # +0.4 -> -11 with reward peaking at iter ~30 then decaying); 4e-3
+    # holds entropy near -1 and the curve climbs monotonically through
+    # 250 iterations. Exposed Parameters knob, not a trainer divergence.
+    ap.add_argument("--entropy_eps", type=float, default=4e-3)
+    ap.add_argument("--out", type=str, default=os.path.join(REPO, "LEARNING_CURVE.json"))
+    args = ap.parse_args()
+    if args.quick:
+        args.n_iters, args.num_envs, args.seeds = 3, 8, 2
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    runs = []
+    p = None
+    for seed in range(args.seeds):
+        p, r = run_seed(args, seed)
+        runs.append(r)
+
+    histories = np.array([r["reward_history"] for r in runs])  # [S, I]
+    hist_mean, hist_ci = _ci95(histories)
+    w = max(1, min(5, histories.shape[1] // 4))
+
+    def agg_eval(which):
+        """Across-seed mean + CI95 half-width per eval metric."""
+        out = {}
+        for k in runs[0][which]:
+            m, c = _ci95(np.array([[r[which][k]] for r in runs]))
+            out[k] = round(float(m[0]), 4)
+            out[k + "_ci95"] = round(float(c[0]), 4)
+        return out
+
+    agg_init = agg_eval("eval_initial")
+    agg_final = agg_eval("eval_final")
+
     art = {
         "scenario": p.scenario_type,
         "n_agents": p.n_agents,
         "num_envs": p.num_vmas_envs,
         "n_iters": p.n_iters,
+        "n_seeds": args.seeds,
         "entropy_eps": p.entropy_eps,
         "frames_per_batch": p.frames_per_batch,
         "total_env_steps": p.frames_per_batch * p.n_iters,
-        "train_wall_s": round(train_s, 1),
+        "train_wall_s": round(sum(r["train_wall_s"] for r in runs), 1),
         "backend": jax.default_backend(),
-        "reward_history": [round(r, 3) for r in history],
-        "initial_window_mean": round(float(np.mean(history[:w])), 3),
-        "final_window_mean": round(float(np.mean(history[-w:])), 3),
-        "eval_initial": ev_init,
-        "eval_final": ev_final,
+        # Seed-aggregated curve (mean +/- CI95 half-width per iteration).
+        "reward_history": [round(float(r), 3) for r in hist_mean],
+        "reward_history_ci95": [round(float(c), 3) for c in hist_ci],
+        "initial_window_mean": round(float(hist_mean[:w].mean()), 3),
+        "final_window_mean": round(float(hist_mean[-w:].mean()), 3),
+        "final_window_mean_per_seed": [
+            round(float(h[-w:].mean()), 3) for h in histories
+        ],
+        "eval_initial": agg_init,
+        "eval_final": agg_final,
+        "per_seed": runs,
     }
     with open(args.out, "w") as f:
         json.dump(art, f, indent=1)
-    print(f"wrote {args.out} ({train_s:.0f}s)")
+    print(f"wrote {args.out}")
 
     try:
         import matplotlib
@@ -142,12 +195,14 @@ def main():
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(6, 3.2), dpi=120)
-        ax.plot(history, lw=1.2)
+        x = np.arange(len(hist_mean))
+        ax.plot(x, hist_mean, lw=1.2)
+        ax.fill_between(x, hist_mean - hist_ci, hist_mean + hist_ci, alpha=0.25, lw=0)
         ax.set_xlabel("training iteration")
-        ax.set_ylabel("episode reward (mean)")
+        ax.set_ylabel("episode reward (mean +/- CI95)")
         ax.set_title(
             f"MAPPO {p.scenario_type} N={p.n_agents} B={p.num_vmas_envs} "
-            f"({art['total_env_steps']:,} env steps)"
+            f"{args.seeds} seeds ({art['total_env_steps']:,} env steps each)"
         )
         fig.tight_layout()
         fig.savefig(os.path.splitext(args.out)[0] + ".png")

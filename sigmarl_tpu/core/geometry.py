@@ -275,6 +275,13 @@ def rect_polyline_hit(
     the sign-product grid: one [..., P] chain instead of
     [..., 4, P] + [..., 5, P-1] products.
 
+    CALLER REQUIREMENT (this is NOT a general polyline-vs-rectangle
+    predicate): the polyline's extent must exceed the rectangle, as lane
+    boundaries do vs the agent box. A polyline contained strictly INSIDE
+    the rectangle returns True here (segments overlap the solid interior)
+    where `interx` on the outline returns False. For short polylines use
+    `interx(rectangle_vertices(...), polyline)` instead.
+
     Args:
         pos: [..., 2]; rot: [...]; polyline: [..., P, 2]. Returns [...] bool.
     """

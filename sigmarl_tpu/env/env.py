@@ -392,8 +392,20 @@ def make_env(parameters: Parameters) -> RoadTrafficEnv:
 
         enable_debug_numerics()
     map_data = load_map(parameters.scenario_type, lane_width=parameters.lane_width)
+    if parameters.scenario_type == "cpm_mixed":
+        # cpm_mixed tables stack the three scenario families, not the
+        # "all" list — mirror build_map_tables' path selection.
+        _table_paths = (
+            map_data.reference_paths_intersection
+            + map_data.reference_paths_merge_in
+            + map_data.reference_paths_merge_out
+        )
+    else:
+        _table_paths = map_data.reference_paths
     cfg = dataclasses.replace(
-        cfg, has_lanelet_neighbors=len(map_data.neighboring_lanelets_idx) > 0
+        cfg,
+        has_lanelet_neighbors=len(map_data.neighboring_lanelets_idx) > 0,
+        all_paths_loop=all(p.is_loop for p in _table_paths),
     )
     tables = build_map_tables(
         map_data,

@@ -115,8 +115,11 @@ class InteractiveSession:
 
     def step(self):
         """Advance one control period; returns (reward[N], done)."""
+        # Env-noise stream derived from the CURRENT reset key: it varies
+        # with the session seed and across R-key resets (fold_in(1) advances
+        # _reset_key), so a replayed episode does not see a repeated stream.
         self.state, self.obs, rew, done, info = self._step(
-            self.state, self.actions(), jax.random.fold_in(jax.random.PRNGKey(77), self.t)
+            self.state, self.actions(), jax.random.fold_in(self._reset_key, self.t)
         )
         self.t += 1
         self.done = bool(done[0])

@@ -286,11 +286,17 @@ def observe_with_history(
 
     core = observe_core(cfg, tables, state, key)  # [B, N, F]
     H = cfg.n_stored_steps
+    if cfg.n_observed_steps > H:
+        # Unreachable through EnvConfig (its __post_init__ enforces
+        # stored >= observed); kept as a hard stop so no construction path
+        # can fabricate history by duplicating the current features.
+        raise ValueError(
+            f"n_observed_steps={cfg.n_observed_steps} exceeds "
+            f"n_stored_steps={H}; cannot observe deeper than the stored "
+            "history."
+        )
     if H <= 1:
-        obs = core
-        if cfg.n_observed_steps > 1:
-            obs = jnp.concatenate([obs] * cfg.n_observed_steps, axis=-1)
-        return _finalize(cfg, obs, key), state
+        return _finalize(cfg, core, key), state
 
     if full_reset:
         hist = jnp.broadcast_to(core[None], (H, *core.shape))

@@ -110,7 +110,11 @@ class EnvConfig:
     # Measured on the bench workload (scripts/profile_reset.py, B=1024,
     # 15 agents respawning together): choice index p99.9 = 6, max = 9,
     # all-infeasible never observed — 12 leaves 3 sigma of headroom at
-    # 60% of the spawn-path cost of the previous 20.
+    # 60% of the spawn-path cost of the previous 20. Testing mode keeps the
+    # full budget of 20 (set in from_parameters): there the candidate window
+    # GROWS with the retry index (reference's grow-until-success loop,
+    # `world_state_rt_sim.py:254-265`), so the budget also bounds the
+    # maximum window (213 points at 20 tries vs 81 at 12).
     max_spawn_tries: int = 12
     # Challenging initial-state buffer (reference `InitialStateBuffer`)
     is_challenging_initial_state_buffer: bool = False
@@ -120,10 +124,31 @@ class EnvConfig:
     # Whether the loaded map defines lanelet adjacency (set by make_env;
     # enables lanelet-based masking under is_apply_mask)
     has_lanelet_neighbors: bool = False
+    # Static map property (set by make_env): every reference path is a loop.
+    # Resolved at TRACE time so the entry/exit crossing sweeps vanish from
+    # the compiled step on all-loop maps (cpm_entire) — a Python bool here
+    # instead of a device-array check keeps `update_geometry` traceable when
+    # MapTables is passed as a jit/shard_map argument.
+    all_paths_loop: bool = False
     debug_numerics: bool = False
     # CBF coupling (reward-from-margins written by the safety layer)
     is_using_cbf: bool = False
     is_solve_qp: bool = True
+
+    def __post_init__(self):
+        # History invariant: the rolled buffer must be at least as deep as
+        # the observation window, or `observe_with_history` would have to
+        # fabricate missing slots by duplicating the current features (the
+        # silent-duplication trap; reference semantics store >= observe,
+        # `observation_provider_rt.py:100-339`). `from_parameters` takes the
+        # max; a direct construction must satisfy it explicitly.
+        if self.n_observed_steps > self.n_stored_steps:
+            raise ValueError(
+                f"n_observed_steps={self.n_observed_steps} exceeds "
+                f"n_stored_steps={self.n_stored_steps}: the observation "
+                "window cannot be deeper than the stored history "
+                "(set n_stored_steps >= n_observed_steps)."
+            )
 
     @property
     def n_actions(self) -> int:
@@ -236,6 +261,7 @@ class EnvConfig:
             norm_distance_lanelet=lane_width * 3,
             norm_distance_ref=lane_width * 3,
             is_testing_mode=p.is_testing_mode,
+            max_spawn_tries=20 if p.is_testing_mode else 12,
             is_partial_observation=p.is_partial_observation,
             n_nearing_agents_observed=n_nearing,
             is_ego_view=p.is_ego_view,

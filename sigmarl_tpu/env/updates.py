@@ -101,11 +101,11 @@ def update_geometry(
 
         # Entry/exit segment crossings (meaningful for non-loop paths only).
         # All-loop maps (cpm_entire) resolve this at TRACE time — the loop
-        # table is a static map property, so the two interX sweeps + three
-        # lookups vanish from the compiled step (0.22 ms at B=1024).
-        import numpy as _np
-
-        if bool(_np.asarray(tables.is_loop).all()):
+        # property is a static Python bool on the config (set by make_env),
+        # so the two interX sweeps + three lookups vanish from the compiled
+        # step (0.22 ms at B=1024) and the branch stays traceable even when
+        # MapTables is passed as a traced jit/shard_map argument.
+        if cfg.all_paths_loop:
             B, N = pos.shape[:2]
             coll_entry = jnp.zeros((B, N), bool)
             coll_exit = jnp.zeros((B, N), bool)

@@ -1,12 +1,14 @@
-"""Training-learns evidence (VERDICT r3 item 5): the committed
-LEARNING_CURVE.json artifact — produced by a real MAPPO run via
-scripts/train_learning_curve.py on the TPU — must show episode reward
-improving by a margin and the trained policy evaluating no worse than the
-initial one on collisions.
+"""Training-learns evidence: the committed LEARNING_CURVE.json artifact —
+produced by real multi-seed MAPPO runs via
+scripts/train_learning_curve.py on the TPU — must show the seed-mean
+episode reward improving by a margin and the trained policy SUBSTANTIALLY
+cutting the distance-normalized collision rate (the claim made in the
+round profiles, asserted here so a regenerated artifact cannot silently
+regress to mere parity).
 
-This validates the committed artifact's claims (regenerate with the
-script if training code changes); reference contract
-`mappo_cavs.py:468-515` (best-model tracking over an improving curve)."""
+Aggregation protocol mirrors the reference
+(`eva_at25/marl_aggregated_evaluation.py:29-53`: seeds x metric ->
+mean +/- CI95); curve contract `mappo_cavs.py:468-515`."""
 
 import json
 import os
@@ -35,17 +37,36 @@ def test_learning_curve_is_a_real_run(artifact):
     assert np.isfinite(a["reward_history"]).all()
 
 
+def test_multi_seed(artifact):
+    """Evidence must aggregate >= 3 independent seeds, with per-seed
+    curves committed alongside the mean +/- CI95."""
+    a = artifact
+    assert a.get("n_seeds", 1) >= 3
+    assert len(a["per_seed"]) == a["n_seeds"]
+    seeds = {r["seed"] for r in a["per_seed"]}
+    assert len(seeds) == a["n_seeds"], "seeds must be distinct"
+    assert len(a["reward_history_ci95"]) == a["n_iters"]
+    for r in a["per_seed"]:
+        assert len(r["reward_history"]) == a["n_iters"]
+
+
 def test_reward_improves_by_margin(artifact):
     a = artifact
     init, final = a["initial_window_mean"], a["final_window_mean"]
-    # The committed run moves -0.134 -> +0.074; require at least half that
-    # gap so regenerated artifacts must clearly leave the random plateau.
+    # The committed seed-mean moves ~-0.14 -> ~+0.07; require at least half
+    # that gap so regenerated artifacts must clearly leave the random
+    # plateau — and EVERY seed individually must improve.
     assert final > init + 0.1, (init, final)
+    for per_seed_final in a["final_window_mean_per_seed"]:
+        assert per_seed_final > init + 0.05, a["final_window_mean_per_seed"]
 
 
 def test_trained_policy_evaluates_better(artifact):
     ev0, ev1 = artifact["eval_initial"], artifact["eval_final"]
     assert ev1["reward_mean"] > ev0["reward_mean"], (ev0, ev1)
-    coll0 = ev0["collision_rate_agents"] + ev0["collision_rate_lanelets"]
-    coll1 = ev1["collision_rate_agents"] + ev1["collision_rate_lanelets"]
-    assert coll1 <= coll0 * 1.05 + 1e-4, (coll0, coll1)
+    # The profile's claim is a large cut in the DISTANCE-NORMALIZED
+    # collision rate (collisions/100 m, the AT25 lab metric) — assert the
+    # claim, not mere parity.
+    c0 = ev0["collisions_per_100m"]
+    c1 = ev1["collisions_per_100m"]
+    assert c1 <= 0.7 * c0 + 1e-4, (c0, c1)

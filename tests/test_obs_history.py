@@ -98,6 +98,25 @@ def test_history_refill_on_reset():
     )
 
 
+def test_invalid_history_depth_rejected():
+    """A direct EnvConfig construction with n_observed_steps >
+    n_stored_steps must fail loudly — no construction path may fabricate
+    history by duplicating current features (`EnvConfig.__post_init__`).
+    `from_parameters` silently takes the max instead (also asserted)."""
+    from sigmarl_tpu.env.structs import EnvConfig
+
+    with pytest.raises(ValueError, match="n_observed_steps"):
+        EnvConfig(
+            scenario_type="cpm_mixed", n_agents=4, batch_dim=2, dt=0.1,
+            max_steps=100, n_stored_steps=1, n_observed_steps=3,
+        )
+    p = Parameters(
+        scenario_type="cpm_mixed", n_agents=4, num_vmas_envs=2, dt=0.1,
+        max_steps=100, n_stored_steps=1, n_observed_steps=3,
+    )
+    assert EnvConfig.from_parameters(p).n_stored_steps == 3
+
+
 def test_debug_numerics_guard():
     """debug_numerics raises on injected NaN actions and is silent on a
     healthy step (reference asserts `road_traffic.py:1245-1246`)."""
