@@ -32,11 +32,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def eval_policy(env, policy_net, params, key, steps=200):
     """Deterministic eval rollout: mean step reward + collision metrics.
 
-    Collision comparison uses the DISTANCE-NORMALIZED event rate (the
-    reference's AT25 lab metric, collisions/100 m): raw per-step collision
+    Collision comparison uses a DISTANCE-NORMALIZED rate (colliding
+    agent-steps per 100 m driven, after the reference's AT25 per-distance
+    normalization `marl_evaluation.py:212-230`): raw per-step collision
     rates reward standing still — the random initial policy barely moves,
-    so it rarely reaches a boundary at all."""
-    from sigmarl_tpu.eval import metrics as M
+    so it rarely reaches a boundary at all. The AT25 debounced EVENT count
+    is not usable here: the training-mode env auto-resets on any
+    collision, so no collision ever survives the 3-consecutive-step
+    debounce."""
     from sigmarl_tpu.eval.rollout import rollout
     from sigmarl_tpu.rl.networks import tanh_normal_mode
 
@@ -49,11 +52,14 @@ def eval_policy(env, policy_net, params, key, steps=200):
     record, _ = rollout(env, policy_fn, steps, key)
     pos = np.asarray(record["pos"])
     dist_m = float(np.linalg.norm(np.diff(pos, axis=0), axis=-1).sum())
+    coll_agents = np.asarray(record["is_collision_with_agents"], bool)
+    coll_lane = np.asarray(record["is_collision_with_lanelets"], bool)
+    coll_steps = float((coll_agents | coll_lane).sum())
     return {
         "reward_mean": float(np.mean(record["reward"])),
-        "collision_rate_agents": float(np.mean(record["is_collision_with_agents"])),
-        "collision_rate_lanelets": float(np.mean(record["is_collision_with_lanelets"])),
-        "collisions_per_100m": M.collisions_per_100m(record),
+        "collision_rate_agents": float(coll_agents.mean()),
+        "collision_rate_lanelets": float(coll_lane.mean()),
+        "collision_steps_per_100m": round(coll_steps / max(dist_m, 1e-9) * 100, 3),
         "meters_driven": round(dist_m, 1),
     }
 
@@ -71,7 +77,12 @@ def run_seed(args, seed: int):
         dt=0.1,
         is_use_mtv_distance=False,
         is_obs_noise=True,
-        is_save_intermediate_model=False,
+        # Reference protocol: keep the BEST-reward checkpoint and evaluate
+        # it, not the final iterate (`mappo_cavs.py:489-515` +
+        # `helper_training.py:932-944` delete-worse retention) — MAPPO's
+        # final iterate can sit below its own best (policy churn after the
+        # reward peaks), and the deployed model is always the best one.
+        is_save_intermediate_model=True,
         where_to_save=f"outputs/learning_curve/seed{seed}/",
         random_seed=seed,
         entropy_eps=args.entropy_eps,
@@ -92,7 +103,16 @@ def run_seed(args, seed: int):
 
     trainer.train(progress_callback=cb)
     train_s = time.time() - t0
-    final_params = trainer._final_state.policy_params
+    # Evaluate the best-reward checkpoint (reference deployment protocol),
+    # falling back to the final iterate if no intermediate improved.
+    from sigmarl_tpu.rl import checkpoint as ckpt
+
+    try:
+        final_params = jax.tree.map(
+            jnp.asarray, ckpt.load_best(p)["policy"]
+        )
+    except FileNotFoundError:
+        final_params = trainer._final_state.policy_params
 
     # Eval key varies with the seed; initial vs final share it (paired).
     k_eval = jax.random.PRNGKey(100 + seed)

@@ -49,9 +49,19 @@ class MapTables:
     right_boundary_pseudo_vec: Array  # [K, PB, 2]
     # Precomputed pseudo-distance segment tables (segment frame + tangent
     # slopes; `safety.pseudo_distance.segment_table`) — the hot-path stencil
-    # evaluates pure arithmetic against these.
-    left_seg: Array  # [K, PB-1, 8]
-    right_seg: Array  # [K, PB-1, 8]
+    # evaluates pure arithmetic against these. The segment axis is padded to
+    # a multiple of PD_CHUNK (invalid-marked) so it tiles into chunks.
+    left_seg: Array  # [K, S, 8], S = PD_CHUNK * NC
+    right_seg: Array  # [K, S, 8]
+    # Per-chunk bounding circles over the chunk's boundary points: the
+    # pseudo distance of q to any segment in chunk c is >= |q - cc| - cr
+    # (the pseudo projection point lies ON the segment), so chunks can be
+    # pruned by this lower bound (`safety.cbf_qp._lane_terms` top-k mode).
+    # Chunks with no valid segment get cc = +1e6 (never selected).
+    left_chunk_cc: Array  # [K, NC, 2]
+    left_chunk_cr: Array  # [K, NC]
+    right_chunk_cc: Array  # [K, NC, 2]
+    right_chunk_cr: Array  # [K, NC]
     entry: Array  # [K, 2, 2] entry segment (first boundary points)
     exit: Array  # [K, 2, 2] exit segment (last boundary points)
     is_loop: Array  # [K] bool
@@ -213,7 +223,7 @@ def build_map_tables(
     n_groups = max(4, int(gid.max()) + 1) if gid.size else 1
     group_mask = np.stack([gid == g for g in range(n_groups)], axis=0)
 
-    from sigmarl_tpu.safety.pseudo_distance import segment_table
+    from sigmarl_tpu.safety.pseudo_distance import PD_CHUNK, segment_table
 
     left_seg = np.asarray(
         segment_table(jnp.asarray(lb), jnp.asarray(lb_pv), jnp.asarray(n_lb))
@@ -221,6 +231,50 @@ def build_map_tables(
     right_seg = np.asarray(
         segment_table(jnp.asarray(rb), jnp.asarray(rb_pv), jnp.asarray(n_rb))
     )
+    # Pad the segment axis to a PD_CHUNK multiple (all-zero rows: valid=0)
+    # and precompute per-chunk bounding circles for top-k chunk pruning.
+    S_raw = left_seg.shape[1]
+    S_pad = ((S_raw + PD_CHUNK - 1) // PD_CHUNK) * PD_CHUNK
+    pad = ((0, 0), (0, S_pad - S_raw), (0, 0))
+    left_seg = np.pad(left_seg, pad)
+    right_seg = np.pad(right_seg, pad)
+
+    def chunk_bounds(seg, bnd):
+        """(cc [K, NC, 2], cr [K, NC]) over each chunk's boundary points.
+
+        Chunk c covers segments [c*CH, (c+1)*CH), whose geometric extent is
+        boundary points [c*CH, (c+1)*CH] inclusive. Only points incident to
+        a VALID segment enter the bound; empty chunks are pushed to 1e6."""
+        Kn, Sp = seg.shape[0], seg.shape[1]
+        NC = Sp // PD_CHUNK
+        if bnd.shape[1] < Sp + 1:  # keep point slices full-width
+            tail = np.repeat(bnd[:, -1:], Sp + 1 - bnd.shape[1], axis=1)
+            bnd = np.concatenate([bnd, tail], axis=1)
+        valid = seg[..., 7] > 0.5  # [K, Sp]
+        cc = np.full((Kn, NC, 2), 1.0e6, np.float32)
+        cr = np.zeros((Kn, NC), np.float32)
+        for c in range(NC):
+            lo, hi = c * PD_CHUNK, (c + 1) * PD_CHUNK
+            m_seg = valid[:, lo:hi]  # [K, CH]
+            # point p in [lo, hi] is incident to segments p-1 and p.
+            m_pt = np.zeros((Kn, hi - lo + 1), bool)
+            m_pt[:, :-1] |= m_seg
+            m_pt[:, 1:] |= m_seg
+            pts = bnd[:, lo:hi + 1]  # [K, CH+1, 2] (hi <= PB-1 by S=PB-1)
+            w = m_pt[..., None].astype(np.float64)
+            cnt = w.sum(1)  # [K, 1]
+            has = cnt[:, 0] > 0
+            mid = (pts * w).sum(1) / np.maximum(cnt, 1.0)  # [K, 2]
+            r = np.sqrt(
+                ((pts - mid[:, None]) ** 2).sum(-1)
+            )  # [K, CH+1]
+            r = np.where(m_pt, r, 0.0).max(1)
+            cc[has, c] = mid[has].astype(np.float32)
+            cr[has, c] = r[has].astype(np.float32)
+        return cc, cr
+
+    l_cc, l_cr = chunk_bounds(left_seg, lb)
+    r_cc, r_cr = chunk_bounds(right_seg, rb)
 
     n_lanelets = len(map_data.lanelets)
     Lc = max(l.center_line.shape[0] for l in map_data.lanelets)
@@ -284,6 +338,10 @@ def build_map_tables(
         right_boundary_pseudo_vec=as_j(rb_pv),
         left_seg=as_j(left_seg),
         right_seg=as_j(right_seg),
+        left_chunk_cc=as_j(l_cc),
+        left_chunk_cr=as_j(l_cr),
+        right_chunk_cc=as_j(r_cc),
+        right_chunk_cr=as_j(r_cr),
         entry=as_j(entry),
         exit=as_j(exit_),
         is_loop=as_j(is_loop),

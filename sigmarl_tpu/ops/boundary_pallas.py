@@ -78,7 +78,9 @@ def _stencil_kernel(oh_ref, q_ref, *refs):
             lam = (x + y * m_b) / denom
             nx = x - lam * seg_l
             d2 = nx * nx + y * y
-            ok = ok_base & (lam >= 0.0) & (lam < 1.0)
+            # Same widened validity band as the jnp path (pseudo_distance.
+            # _LAM_EPS): strict [0, 1) is knife-edged at segment joints.
+            ok = ok_base & (lam >= -1e-3) & (lam < 1.0 + 1e-3)
             d2 = jnp.where(ok, d2, _BIG2)
             out_ref[:, side * Q + qi] = jnp.sqrt(jnp.min(d2, axis=-1))
 

@@ -118,13 +118,28 @@ class CBFConfig:
     fp16_parity: bool = False
     # Windowed pseudo-distance: scan only `pd_window` boundary segments
     # around the agent's closest boundary vertex instead of the whole
-    # polyline. Measured on TPU v5e this is a PESSIMIZATION: the per-agent
-    # window gather (take_along_axis) costs ~34 ms/step at B=1024/N=15 while
-    # the full 176-segment scan is ~5 ms — XLA lowers the variable-offset
-    # gather to slow scalar HBM indexing, whereas the full scan is a dense
-    # VPU sweep. Kept for small-batch/CPU use; leave False on TPU.
+    # polyline, gathered by flat index from the stacked table. CAUTION: on
+    # self-overlapping loop paths (cpm_entire routes pass near other parts
+    # of themselves) the winning segment can belong to a DIFFERENT branch
+    # far away in index space — index windows then silently miss it
+    # (measured ~5 mm sm error on cpm_entire). Only safe on maps whose
+    # paths never self-approach; prefer pd_topk_chunks, which prunes by
+    # geometric lower bound and covers all branches.
     use_windowed_pseudo_distance: bool = False
     pd_window: int = 32
+    # Top-k chunk-pruned pseudo-distance: the stencil sweep runs over the
+    # k=pd_topk_chunks 16-segment chunks with the smallest per-chunk
+    # bounding-circle lower bound (a true bound: the pseudo projection
+    # point lies ON the segment, see MapTables.left_chunk_cc). Coverage
+    # guarantee: the result is EXACT whenever the true distance is below
+    # every unselected chunk's lower bound — i.e. everywhere near the
+    # boundary, where the constraint can activate. A miss requires the
+    # true distance to exceed that bound (measured: 1 query in 2.5e6 over
+    # random-action states at B=1024, at a 3.6 m true distance — h is
+    # inactive at either value). tests/test_safety.py pins chunked == full
+    # over rollout states. Measured 1.55 -> 0.90 ms/step at B=1024 N=15.
+    # 0 disables (full scan, the reference-exact mode).
+    pd_topk_chunks: int = 3
 
     @property
     def dt_taylor(self) -> float:
@@ -252,23 +267,67 @@ class CBFSafetyFilter:
         from sigmarl_tpu.env.map_tables import lookup, path_onehot
         from sigmarl_tpu.safety.pseudo_distance import pseudo_distance_seg
 
-        oh = path_onehot(path_id, self.tables.left_boundary.shape[0])
-        if cfg.use_windowed_pseudo_distance and idx_left is not None:
-            from sigmarl_tpu.safety.pseudo_distance import pseudo_distance_windowed
+        if cfg.pd_topk_chunks > 0:
+            from sigmarl_tpu.safety.pseudo_distance import PD_CHUNK
 
-            lb = lookup(oh, self.tables.left_boundary)  # [B, N, PB, 2]
-            rb = lookup(oh, self.tables.right_boundary)
-            lpv = lookup(oh, self.tables.left_boundary_pseudo_vec)
-            rpv = lookup(oh, self.tables.right_boundary_pseudo_vec)
-            n_lb = lookup(oh, self.tables.n_points_left_b)
-            n_rb = lookup(oh, self.tables.n_points_right_b)
-            d_left = pseudo_distance_windowed(
-                q, lb, lpv, idx_left, cfg.pd_window, n_lb
+            t = self.tables
+            K_paths = t.left_seg.shape[0]
+            NC = t.left_seg.shape[1] // PD_CHUNK
+            k_sel = min(cfg.pd_topk_chunks, NC)
+            oh = path_onehot(path_id, K_paths)
+            # Agent reference point + static reach covering every stencil
+            # query: max circle-center offset from the centers' mean plus
+            # the stencil diagonal.
+            c_loc = np.asarray(self.approx.centers_local, np.float64)
+            reach = float(
+                np.abs(c_loc - c_loc.mean()).max()
+                + np.hypot(cfg.dx, cfg.dy)
+            )
+            p_ref = centers.mean(axis=2)  # [B, N, 2]
+
+            def side_rows(seg_table, cc, cr):
+                ccp = lookup(oh, cc)  # [B, N, NC, 2]
+                crp = lookup(oh, cr)  # [B, N, NC]
+                lbound = (
+                    jnp.linalg.norm(p_ref[..., None, :] - ccp, axis=-1)
+                    - crp
+                    - reach
+                )  # [B, N, NC]
+                _, sel = jax.lax.top_k(-lbound, k_sel)  # [B, N, k]
+                flat = path_id[..., None] * NC + sel
+                rows = jnp.take(
+                    seg_table.reshape(K_paths * NC, PD_CHUNK * 8), flat, axis=0
+                )
+                return rows.reshape(B, N, k_sel * PD_CHUNK, 8)
+
+            d_left = pseudo_distance_seg(
+                q, side_rows(t.left_seg, t.left_chunk_cc, t.left_chunk_cr)
             ).reshape(B, N, C, 9)
-            d_right = pseudo_distance_windowed(
-                q, rb, rpv, idx_right, cfg.pd_window, n_rb
+            d_right = pseudo_distance_seg(
+                q, side_rows(t.right_seg, t.right_chunk_cc, t.right_chunk_cr)
             ).reshape(B, N, C, 9)
+        elif cfg.use_windowed_pseudo_distance and idx_left is not None:
+            # Windowed flat-gather: slice `pd_window` segments around the
+            # closest boundary vertex (tracked per step by update_geometry)
+            # straight out of the stacked [K, S, 8] table — skipping the
+            # one-hot materialization of the full per-agent boundary that
+            # dominates the stencil's HBM traffic, and cutting the sweep
+            # from S=176 to W segments per query.
+            from sigmarl_tpu.safety.pseudo_distance import window_segment_rows
+
+            t = self.tables
+            lrows = window_segment_rows(
+                t.left_seg, path_id, idx_left, cfg.pd_window,
+                t.n_points_left_b - 1, t.is_loop,
+            )  # [B, N, W, 8]
+            rrows = window_segment_rows(
+                t.right_seg, path_id, idx_right, cfg.pd_window,
+                t.n_points_right_b - 1, t.is_loop,
+            )
+            d_left = pseudo_distance_seg(q, lrows).reshape(B, N, C, 9)
+            d_right = pseudo_distance_seg(q, rrows).reshape(B, N, C, 9)
         else:
+            oh = path_onehot(path_id, self.tables.left_boundary.shape[0])
             # Precomputed segment tables: per-agent gather (one-hot matmul)
             # of ready-made segment frames; the stencil scan is then pure
             # arithmetic — no per-step trigonometry over the boundary.

@@ -23,6 +23,23 @@ Array = jax.Array
 
 _BIG = 1000.0
 
+# Segment-chunk granularity for top-k chunk pruning: segment tables are
+# padded to a PD_CHUNK multiple and per-chunk bounding circles precomputed
+# (`env/map_tables.build_map_tables`).
+PD_CHUNK = 16
+
+# Projection-validity tolerance. The pseudo-tangent construction makes the
+# per-segment valid regions lambda in [0, 1) PARTITION space exactly: at a
+# segment joint, lambda hits 1 on one segment exactly where it hits 0 on
+# the next. With strict bounds that partition is knife-edged — fp
+# reassociation (a different XLA fusion order) can flip a joint query to
+# invalid on BOTH neighbors, leaving no valid segment and a spurious _BIG
+# distance. Widening by _LAM_EPS turns the measure-zero gap into a small
+# OVERLAP (min over two nearly equal candidates — continuous); the
+# distance computed at lambda slightly outside [0,1) is still a true
+# distance to a point on the segment line, off by at most eps*l ~ 6e-5 m.
+_LAM_EPS = 1e-3
+
 
 def pseudo_distance_to_polyline(
     points: Array,  # [..., Q, 2] query points
@@ -73,9 +90,9 @@ def pseudo_distance_to_polyline(
 
     nx = x - lam * l
     ny = y
-    dist = jnp.sqrt(nx * nx + ny * ny)
+    d2 = nx * nx + ny * ny
 
-    valid = (lam >= 0) & (lam < 1)
+    valid = (lam >= -_LAM_EPS) & (lam < 1 + _LAM_EPS)
     if n_valid is not None:
         seg_idx = jnp.arange(seg.shape[-2])
         in_range = seg_idx < (n_valid[..., None] - 1)
@@ -83,8 +100,8 @@ def pseudo_distance_to_polyline(
     # Degenerate padded segments (zero length) are never valid.
     valid = valid & (l > 1e-9)
 
-    dist = jnp.where(valid, dist, _BIG)
-    return dist.min(axis=-1)
+    # One sqrt per query, after the (monotone) min over squared distances.
+    return jnp.sqrt(jnp.where(valid, d2, _BIG * _BIG).min(axis=-1))
 
 
 def segment_table(
@@ -173,9 +190,9 @@ def pseudo_distance_stencil(centers: Array, offsets: Array, seg: Array) -> Array
     denom = l - y * (m_t - m_b)
     lam = (x + y * m_b) / denom
     nx = x - lam * l
-    dist = jnp.sqrt(nx * nx + y * y)
-    ok = valid & (lam >= 0) & (lam < 1)
-    return jnp.where(ok, dist, _BIG).min(axis=-1)
+    d2 = nx * nx + y * y
+    ok = valid & (lam >= -_LAM_EPS) & (lam < 1 + _LAM_EPS)
+    return jnp.sqrt(jnp.where(ok, d2, _BIG * _BIG).min(axis=-1))
 
 
 def pseudo_distance_seg(points: Array, seg: Array) -> Array:
@@ -205,9 +222,47 @@ def pseudo_distance_seg(points: Array, seg: Array) -> Array:
     denom = l - y * (m_t - m_b)
     lam = (x + y * m_b) / denom
     nx = x - lam * l
-    dist = jnp.sqrt(nx * nx + y * y)
-    ok = valid & (lam >= 0) & (lam < 1)
-    return jnp.where(ok, dist, _BIG).min(axis=-1)
+    d2 = nx * nx + y * y
+    ok = valid & (lam >= -_LAM_EPS) & (lam < 1 + _LAM_EPS)
+    # Reduce on SQUARED distances (monotone under sqrt): one sqrt per query
+    # instead of one per (query, segment) — the multi-cycle sqrt is a
+    # measurable slice of the VPU-bound sweep. sqrt(_BIG**2) == _BIG keeps
+    # the no-valid-segment fill value bit-identical.
+    return jnp.sqrt(jnp.where(ok, d2, _BIG * _BIG).min(axis=-1))
+
+
+def window_segment_rows(
+    seg_table: Array,  # [K, S, 8] stacked per-path segment tables
+    path_id: Array,  # [...] int32
+    center_idx: Array,  # [...] int32 — closest boundary VERTEX index
+    window: int,
+    n_seg: Array,  # [K] int32 — valid segment count per path
+    is_loop: Array,  # [K] bool
+) -> Array:
+    """Gather a `window`-segment slice of each row's path table around its
+    closest vertex, directly from the stacked [K, S, 8] table by flat index
+    (NO per-agent full-boundary materialization — the one-hot-matmul lookup
+    of the whole [B, N, S, 8] table is the stencil's dominant HBM cost).
+
+    Loop paths (reference `world_state_rt.py` loop reference paths) wrap
+    modularly so windows near the seam cover both index ends; open paths
+    clamp the window inside [0, n_seg). Including extra segments can never
+    change the min (every gathered segment is also in the full scan); the
+    window need only CONTAIN the full scan's winning segment, which lane
+    geometry guarantees for windows covering ~±0.5 m around the closest
+    vertex (`tests/test_safety.py` pins windowed == full over all paths).
+
+    Returns [..., window, 8]."""
+    K, S = seg_table.shape[0], seg_table.shape[1]
+    ns = n_seg[path_id]  # [...]
+    lp = is_loop[path_id]
+    offs = jnp.arange(window, dtype=jnp.int32) - window // 2
+    idx_loop = (center_idx[..., None] + offs) % jnp.maximum(ns[..., None], 1)
+    start = jnp.clip(center_idx - window // 2, 0, jnp.maximum(ns - window, 0))
+    idx_open = jnp.minimum(start[..., None] + (offs + window // 2), S - 1)
+    idx = jnp.where(lp[..., None], idx_loop, idx_open)
+    flat = path_id[..., None] * S + idx  # [..., W]
+    return jnp.take(seg_table.reshape(K * S, 8), flat, axis=0)
 
 
 def pseudo_distance_windowed(

