@@ -55,7 +55,7 @@ def _hdot(a, b):  # [X, Y] @ [Y, T] exact fp32
 
 
 def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
-                 n_iters, ridge, wl_val):
+                 n_iters, ridge):
     """Build the kernel body with all static structure baked in."""
     d = 2 * N
     ei_p = np.eye(N, dtype=np.float32)[pair_i]  # [P, N]
@@ -67,8 +67,8 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
     eps_bx = 1e-6 * (hix - lox)
     eps_by = 1e-6 * (hiy - loy)
 
-    def kernel(asx_r, asy_r, bs_r, hs_r, wss_r,
-               apxi_r, apyi_r, apxj_r, apyj_r, bp_r, hp_r, wsp_r,
+    def kernel(asx_r, asy_r, bs_r, hs_r, wss_r, wls_r,
+               apxi_r, apyi_r, apxj_r, apyj_r, bp_r, hp_r, wsp_r, wlp_r,
                u0_r, ui_r, unom_r,
                eip_r, ejp_r, eipt_r, ejpt_r, wnmt_r, wnm2t_r, eyen_r,
                eyed_r, out_u, out_F):
@@ -92,14 +92,14 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
         # Invalid rows are encoded as ws = 0 upstream: phi and all its
         # derivatives vanish identically there (the lambda optimum is 0 and
         # the penalty term carries the only r-dependence), so no separate
-        # validity masks are needed in-kernel. wl is a per-problem scalar.
+        # validity masks are needed in-kernel. wl arrives per ROW — uniform
+        # (_wl_value) in plain mode, row-varying in grouped mode where
+        # cross-group lambda rows are always lambda_weight-regularized.
         ASX, ASY, BS = asx_r[:], asy_r[:], bs_r[:]
-        HS, WSS = hs_r[:], wss_r[:]
-        WLS = jnp.full_like(WSS, wl_val)
+        HS, WSS, WLS = hs_r[:], wss_r[:], wls_r[:]
         APXI, APYI = apxi_r[:], apyi_r[:]
         APXJ, APYJ = apxj_r[:], apyj_r[:]
-        BP, HP, WSP = bp_r[:], hp_r[:], wsp_r[:]
-        WLP = jnp.full_like(WSP, wl_val)
+        BP, HP, WSP, WLP = bp_r[:], hp_r[:], wsp_r[:], wlp_r[:]
         unom = unom_r[:]
         unx, uny = unom[:N], unom[N:]
 
@@ -329,19 +329,18 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
 @partial(
     jax.jit,
     static_argnames=("N", "Ks", "Kp", "P", "pair_i", "pair_j", "w_u",
-                     "u_lo", "u_hi", "n_iters", "ridge", "wl_val",
-                     "interpret"),
+                     "u_lo", "u_hi", "n_iters", "ridge", "interpret"),
 )
 def newton_solve_pallas(
-    singles,  # tuple of 5 arrays [Ks, N, B]: asx, asy, b, h, ws (ws=0 marks invalid rows)
-    pairs,  # tuple of 7 arrays [Kp, P, B]: axi, ayi, axj, ayj, b, h, ws
+    singles,  # tuple of 6 arrays [Ks, N, B]: asx, asy, b, h, ws, wl (ws=0 marks invalid rows)
+    pairs,  # tuple of 8 arrays [Kp, P, B]: axi, ayi, axj, ayj, b, h, ws, wl
     u0,  # [2N, B] start (x block then y block)
     u_init,  # [2N, B] warm candidate (pass u0 when absent)
     u_nom,  # [2N, B]
     N: int, Ks: int, Kp: int, P: int,
     pair_i: tuple, pair_j: tuple,
     w_u: tuple, u_lo: tuple, u_hi: tuple,
-    n_iters: int, ridge: float, wl_val: float,
+    n_iters: int, ridge: float,
     interpret: bool = False,
 ):
     """Fused whole-solve. Returns (u_star [2N, B], F [B])."""
@@ -352,13 +351,13 @@ def newton_solve_pallas(
     def padB(x):
         return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, dpad)])
 
-    asx, asy, bs, hs, wss = (padB(x) for x in singles)
-    apxi, apyi, apxj, apyj, bp, hp, wsp = (padB(x) for x in pairs)
+    asx, asy, bs, hs, wss, wls = (padB(x) for x in singles)
+    apxi, apyi, apxj, apyj, bp, hp, wsp, wlp = (padB(x) for x in pairs)
     u0p, uip, unomp = padB(u0), padB(u_init), padB(u_nom)
 
     kernel = _make_kernel(
         N, Ks, Kp, P, np.asarray(pair_i), np.asarray(pair_j),
-        w_u, u_lo, u_hi, n_iters, ridge, wl_val,
+        w_u, u_lo, u_hi, n_iters, ridge,
     )
     d = 2 * N
     ei_p = np.eye(N, dtype=np.float32)[np.asarray(pair_i)]
@@ -389,7 +388,7 @@ def newton_solve_pallas(
             jax.ShapeDtypeStruct((8, B_pad), jnp.float32),
         ),
         grid=(B_pad // TB,),
-        in_specs=[s_spec] * 5 + [p_spec] * 7 + [u_spec] * 3 + const_specs,
+        in_specs=[s_spec] * 6 + [p_spec] * 8 + [u_spec] * 3 + const_specs,
         out_specs=(
             u_spec,
             pl.BlockSpec((8, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -401,7 +400,7 @@ def newton_solve_pallas(
             # larger. 64 MB leaves headroom for double buffering.
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(asx, asy, bs, hs, wss,
-      apxi, apyi, apxj, apyj, bp, hp, wsp,
+    )(asx, asy, bs, hs, wss, wls,
+      apxi, apyi, apxj, apyj, bp, hp, wsp, wlp,
       u0p, uip, unomp, *consts)
     return out_u[:, :B], out_F[0, :B]

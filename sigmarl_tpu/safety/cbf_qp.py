@@ -223,13 +223,11 @@ class CBFSafetyFilter:
 
     # ------------------------------------------------------------ primitives
     def _wl_value(self) -> float:
-        """The baseline (uniform, static) lambda penalty weight. In
-        non-grouped mode `assemble` fills the per-row wl arrays with exactly
-        this value and the Pallas solve path bakes it into the kernel
-        statically — both MUST read it from here so the two paths cannot
-        drift (ADVICE r3). Grouped mode makes wl row-varying (cross-group
-        lambdas are always lambda_weight-regularized) and is therefore
-        excluded from the Pallas path in `filter_actions`."""
+        """The baseline (uniform) lambda penalty weight. `assemble` fills
+        the per-row wl arrays from this single source (ADVICE r3); grouped
+        mode overrides the cross-group rows (always
+        lambda_weight-regularized). Both solver paths stream the arrays —
+        the Pallas kernel takes wl per row since round 5."""
         cfg = self.cfg
         return cfg.lambda_weight if cfg.adaptive_lambda_cost else 1e-9
 
@@ -609,9 +607,9 @@ class CBFSafetyFilter:
         # parameters.adaptive_lambda is set; otherwise lambda is free in
         # [0, 1] (`build_centralized_cbf_qp:927-931`) — modeled by the
         # vanishing `wl` weight computed above. Non-grouped mode fills the
-        # wl arrays uniformly from `_wl_value` — the Pallas kernel's static
-        # scalar contract (ADVICE r3); grouped mode has row-varying wl/ws
-        # and therefore always solves through the XLA path.
+        # wl arrays uniformly from `_wl_value`; grouped mode's row-varying
+        # wl/ws stream into BOTH solver paths (the Pallas kernel takes wl
+        # per row).
         cons = StructuredConstraintSet(
             A_s=A_s,
             b_s=b0_s,
@@ -718,7 +716,7 @@ class CBFSafetyFilter:
 
             return solve_structured_qp_pallas(
                 cons, u_nom, w_u, u_lo, u_hi, n_iters=cfg.newton_iters,
-                u_init=u_init, wl_val=self._wl_value(),
+                u_init=u_init,
                 static_bounds=(
                     (cfg.w_u_acc, cfg.w_u_steer),
                     (self.a_min, self.rate_min),
@@ -726,9 +724,7 @@ class CBFSafetyFilter:
                 ),
             )
 
-        # Grouped assembly has row-varying slack/lambda weights, which the
-        # Pallas kernel (static scalar wl) cannot represent — XLA path only.
-        if cfg.use_pallas_qp and self._pair_i.shape[0] > 0 and not self.grouped:
+        if cfg.use_pallas_qp and self._pair_i.shape[0] > 0:
             # Dispatch on the actual LOWERING platform, not the host's
             # default backend: a TPU host tracing for a CPU mesh (or vice
             # versa) gets the right solver (ADVICE r3). Only the selected

@@ -703,7 +703,6 @@ def solve_structured_qp_pallas(
     ridge: float = 1e-8,
     u_init: Array | None = None,
     ws_cap: float = 3e6,
-    wl_val: float = 1e-9,
     static_bounds: Tuple | None = None,  # ((w_u), (lo), (hi)) python floats
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
@@ -713,9 +712,9 @@ def solve_structured_qp_pallas(
     tests); individual fp32 trajectories may differ in near-flat
     directions exactly like any two solver variants do.
 
-    `wl_val` is the (scalar) lambda penalty weight — the kernel carries it
-    statically instead of as per-row arrays (see CBFConfig.lambda_weight /
-    adaptive_lambda_cost)."""
+    The lambda penalty weights stream in per ROW (`cons.wl_s` /
+    `cons.wl_p`), so grouped mode's row-varying cross-group weights ride
+    the same kernel as the uniform plain-mode fill."""
     from sigmarl_tpu.ops.qp_pallas import newton_solve_pallas
 
     B, N = u_nom.shape[:2]
@@ -732,10 +731,10 @@ def solve_structured_qp_pallas(
     ws_s = jnp.where(consn.valid_s, consn.ws_s, 0.0)
     ws_p = jnp.where(consn.valid_p, consn.ws_p, 0.0)
     singles = (tr(consn.A_s[..., 0]), tr(consn.A_s[..., 1]), tr(consn.b_s),
-               tr(consn.h_s), tr(ws_s))
+               tr(consn.h_s), tr(ws_s), tr(consn.wl_s))
     pairs = (tr(consn.A_pi[..., 0]), tr(consn.A_pi[..., 1]),
              tr(consn.A_pj[..., 0]), tr(consn.A_pj[..., 1]),
-             tr(consn.b_p), tr(consn.h_p), tr(ws_p))
+             tr(consn.b_p), tr(consn.h_p), tr(ws_p), tr(consn.wl_p))
 
     # The kernel bakes weights/bounds statically; under jit the array
     # forms are tracers, so callers inside jit must supply static_bounds.
@@ -765,7 +764,7 @@ def solve_structured_qp_pallas(
         tuple(np.asarray(cons.pair_i).tolist()),
         tuple(np.asarray(cons.pair_j).tolist()),
         (wu0, wu1), (lo0, lo1), (hi0, hi1),
-        n_iters, ridge, wl_val, interpret=interpret,
+        n_iters, ridge, interpret=interpret,
     )
     u = jnp.stack([u_t[:N].T, u_t[N:].T], axis=-1)  # [B, N, 2]
     return u, F

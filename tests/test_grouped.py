@@ -194,3 +194,53 @@ def test_grouped_filter_rollout_stays_safe(grouped_env):
         state, obs, rew, done, info = step(state, jax.random.PRNGKey(i))
         coll += int(np.asarray(info["is_collision_with_agents"]).sum())
     assert coll == 0, f"{coll} agent collisions under the grouped filter"
+
+
+def test_grouped_solve_rides_pallas_kernel(grouped_env):
+    """Grouped assembly's row-varying lambda weights (cross-group rows are
+    always lambda_weight-regularized) must solve identically through the
+    Pallas whole-solve kernel and the XLA path — the kernel streams wl per
+    row since round 5, so grouping is no longer excluded from the fast
+    path (`filter_actions` gates only on platform now)."""
+    from sigmarl_tpu.safety.qp import (
+        solve_structured_qp,
+        solve_structured_qp_pallas,
+    )
+
+    env, state = grouped_env
+    N = env.n_agents
+    # adaptive_lambda_cost=False: baseline rows get the vanishing wl
+    # (lambda free in [0,1]) while cross-group rows are ALWAYS
+    # lambda_weight-regularized — the row-varying case the kernel must
+    # honor.
+    cfg = CBFConfig(n_agents=N, dt=0.1, adaptive_lambda_cost=False)
+    grouped = CBFSafetyFilter(cfg, env.cfg, env.tables, max_group_size=2)
+    B = state.pos.shape[0]
+    act = jnp.zeros((B, N, 2)).at[..., 0].set(0.6)
+    gid = jnp.broadcast_to(jnp.asarray([0, 0, 1, 1], jnp.int32), (B, N))
+    cons, u_nom, _, _ = grouped.assemble(state, act, group_id=gid)
+    # Row-varying wl must actually be exercised by this fixture.
+    wl_p = np.asarray(cons.wl_p)
+    assert wl_p.min() != wl_p.max()
+
+    w_u = jnp.asarray([cfg.w_u_acc, cfg.w_u_steer])
+    lo = jnp.asarray([grouped.a_min, grouped.rate_min])
+    hi = jnp.asarray([grouped.a_max, grouped.rate_max])
+    interpret = jax.default_backend() != "tpu"
+    for it in (0, 1):
+        ux, _ = solve_structured_qp(cons, u_nom, w_u, lo, hi, n_iters=it)
+        up, _ = solve_structured_qp_pallas(
+            cons, u_nom, w_u, lo, hi, n_iters=it, interpret=interpret
+        )
+        # 2x pair rows reduce in a different tree order than the XLA
+        # path's flat [M, B] sums -> ulp-level reassociation noise; the
+        # one-step agreement bar is tight allclose, not bitwise.
+        np.testing.assert_allclose(
+            np.asarray(up), np.asarray(ux), atol=1e-5
+        )
+    ux, Fx = solve_structured_qp(cons, u_nom, w_u, lo, hi, n_iters=30)
+    up, Fp = solve_structured_qp_pallas(
+        cons, u_nom, w_u, lo, hi, n_iters=30, interpret=interpret
+    )
+    rel = np.abs(np.asarray(Fp - Fx)) / (1.0 + np.abs(np.asarray(Fx)))
+    assert rel.max() < 1e-4, rel.max()

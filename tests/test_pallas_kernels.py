@@ -79,14 +79,13 @@ def test_qp_newton_kernel_matches_xla():
     for it in (0, 1):
         ux, Fx = solve_structured_qp(cons, u_nom, w_u, lo, hi, n_iters=it)
         up, Fp = solve_structured_qp_pallas(
-            cons, u_nom, w_u, lo, hi, n_iters=it, wl_val=1e-9,
-            interpret=interpret,
+            cons, u_nom, w_u, lo, hi, n_iters=it, interpret=interpret,
         )
         np.testing.assert_array_equal(np.asarray(up), np.asarray(ux))
 
     ux, Fx = solve_structured_qp(cons, u_nom, w_u, lo, hi, n_iters=30)
     up, Fp = solve_structured_qp_pallas(
-        cons, u_nom, w_u, lo, hi, n_iters=30, wl_val=1e-9, interpret=interpret
+        cons, u_nom, w_u, lo, hi, n_iters=30, interpret=interpret
     )
     rel = np.abs(np.asarray(Fp - Fx)) / (1.0 + np.abs(np.asarray(Fx)))
     assert rel.max() < 1e-4, rel.max()
