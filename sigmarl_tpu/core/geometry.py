@@ -129,6 +129,36 @@ def min_perpendicular_distance(point: Array, polyline: Array) -> Array:
     return jnp.sqrt(jnp.min(d2, axis=-1))
 
 
+def min_distance_to_segment_rows(points: Array, rows: Array) -> Array:
+    """Minimum clamped point-to-segment distance against pseudo-distance
+    segment-table rows (`safety.pseudo_distance.segment_table` layout:
+    [..., S, 8] = (pbx, pby, cos_t, sin_t, len, m_b, m_t, valid)).
+
+    The row's start point and direction recover the segment exactly
+    (start = (pbx, pby), vec = len * (cos_t, sin_t)); invalid rows are
+    masked out of the min. Equals `min_perpendicular_distance` on the
+    source polyline restricted to the rows' segments (pinned by
+    tests/test_geometry.py).
+
+    points: [..., Q, 2]; rows: [..., S, 8]. Returns [..., Q].
+    """
+    sx = rows[..., None, :, 0]  # [..., 1, S]
+    sy = rows[..., None, :, 1]
+    ln = rows[..., None, :, 4]
+    vx = ln * rows[..., None, :, 2]
+    vy = ln * rows[..., None, :, 3]
+    valid = rows[..., None, :, 7] > 0.5
+    relx = points[..., :, None, 0] - sx  # [..., Q, S]
+    rely = points[..., :, None, 1] - sy
+    t = jnp.clip(
+        (relx * vx + rely * vy) / jnp.maximum(ln * ln, 1e-12), 0.0, 1.0
+    )
+    dx = relx - t * vx
+    dy = rely - t * vy
+    d2 = dx * dx + dy * dy
+    return jnp.sqrt(jnp.where(valid, d2, 1.0e6).min(axis=-1))
+
+
 def short_term_reference_path(
     polyline: Array,
     index_closest_point: Array,

@@ -130,6 +130,15 @@ class EnvConfig:
     # instead of a device-array check keeps `update_geometry` traceable when
     # MapTables is passed as a jit/shard_map argument.
     all_paths_loop: bool = False
+    # Top-k chunk pruning of the boundary CORNER sweeps in update_geometry
+    # (same per-chunk bounding-circle bound as CBFConfig.pd_topk_chunks;
+    # the gathered pseudo-distance segment rows double as (start, vec)
+    # segment data). Exact wherever the true corner distance is below
+    # every unselected chunk's bound — i.e. everywhere the boundary
+    # rewards/observations actually resolve; collision predicates stay
+    # full-scan (a top-k bound cannot guarantee hit coverage at crowded
+    # intersections). 0 = full scan.
+    geom_topk_chunks: int = 3
     debug_numerics: bool = False
     # CBF coupling (reward-from-margins written by the safety layer)
     is_using_cbf: bool = False

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sigmarl_tpu.core import geometry as G
 from sigmarl_tpu.env.map_tables import MapTables, lookup, path_onehot
@@ -71,8 +72,30 @@ def update_geometry(
     # padded entries provably cannot win the min), which collapses the
     # [B, N, 4, P] intermediates to one fused reduction.
     v4 = verts[..., 0:4, :]  # [B, N, 4, 2]
-    dlv = G.min_perpendicular_distance(v4, lb[..., None, :, :])
-    drv = G.min_perpendicular_distance(v4, rb[..., None, :, :])
+    if cfg.geom_topk_chunks > 0:
+        # Chunk-pruned sweep: k chunks of 16 segments selected by their
+        # bounding-circle lower bound from the agent CG (reach = the rect
+        # half-diagonal covers all four corners). Exact wherever the true
+        # corner distance is below every unselected chunk's bound — the
+        # regime where boundary rewards/observations resolve. The gathered
+        # pseudo-distance segment rows double as (start, vec) segments.
+        from sigmarl_tpu.safety.pseudo_distance import PD_CHUNK, topk_chunk_rows
+
+        k_sel = min(cfg.geom_topk_chunks, tables.left_seg.shape[1] // PD_CHUNK)
+        reach = 0.5 * float(np.hypot(cfg.agent_length, cfg.agent_width))
+        lrows = topk_chunk_rows(
+            tables.left_seg, tables.left_chunk_cc, tables.left_chunk_cr,
+            oh, state.path_id, pos, reach, k_sel,
+        )
+        rrows = topk_chunk_rows(
+            tables.right_seg, tables.right_chunk_cc, tables.right_chunk_cr,
+            oh, state.path_id, pos, reach, k_sel,
+        )
+        dlv = G.min_distance_to_segment_rows(v4, lrows)
+        drv = G.min_distance_to_segment_rows(v4, rrows)
+    else:
+        dlv = G.min_perpendicular_distance(v4, lb[..., None, :, :])
+        drv = G.min_perpendicular_distance(v4, rb[..., None, :, :])
     d_left = jnp.concatenate([(dl0 - half_w)[..., None], dlv], axis=-1)  # [B,N,5]
     d_right = jnp.concatenate([(dr0 - half_w)[..., None], drv], axis=-1)
     d_boundary = jnp.minimum(d_left.min(-1), d_right.min(-1))

@@ -240,7 +240,10 @@ def itsc25_safety_filter(quick: bool = False, out_dir: str = "outputs/itsc25") -
         cbf = CBFSafetyFilter(
             CBFConfig(
                 n_agents=1, n_circles=n_circles, dt=0.1,
-                nom_controller_type="clf", use_windowed_pseudo_distance=True,
+                nom_controller_type="clf",
+                # pd_topk_chunks (the default) prunes by geometric lower
+                # bound and supersedes the index-windowed mode here — the
+                # chunked branch takes precedence in _lane_terms anyway.
             ),
             env.cfg, env.tables,
         )

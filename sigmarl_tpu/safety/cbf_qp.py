@@ -266,13 +266,11 @@ class CBFSafetyFilter:
         from sigmarl_tpu.safety.pseudo_distance import pseudo_distance_seg
 
         if cfg.pd_topk_chunks > 0:
-            from sigmarl_tpu.safety.pseudo_distance import PD_CHUNK
+            from sigmarl_tpu.safety.pseudo_distance import PD_CHUNK, topk_chunk_rows
 
             t = self.tables
-            K_paths = t.left_seg.shape[0]
-            NC = t.left_seg.shape[1] // PD_CHUNK
-            k_sel = min(cfg.pd_topk_chunks, NC)
-            oh = path_onehot(path_id, K_paths)
+            k_sel = min(cfg.pd_topk_chunks, t.left_seg.shape[1] // PD_CHUNK)
+            oh = path_onehot(path_id, t.left_seg.shape[0])
             # Agent reference point + static reach covering every stencil
             # query: max circle-center offset from the centers' mean plus
             # the stencil diagonal.
@@ -283,26 +281,19 @@ class CBFSafetyFilter:
             )
             p_ref = centers.mean(axis=2)  # [B, N, 2]
 
-            def side_rows(seg_table, cc, cr):
-                ccp = lookup(oh, cc)  # [B, N, NC, 2]
-                crp = lookup(oh, cr)  # [B, N, NC]
-                lbound = (
-                    jnp.linalg.norm(p_ref[..., None, :] - ccp, axis=-1)
-                    - crp
-                    - reach
-                )  # [B, N, NC]
-                _, sel = jax.lax.top_k(-lbound, k_sel)  # [B, N, k]
-                flat = path_id[..., None] * NC + sel
-                rows = jnp.take(
-                    seg_table.reshape(K_paths * NC, PD_CHUNK * 8), flat, axis=0
-                )
-                return rows.reshape(B, N, k_sel * PD_CHUNK, 8)
-
             d_left = pseudo_distance_seg(
-                q, side_rows(t.left_seg, t.left_chunk_cc, t.left_chunk_cr)
+                q,
+                topk_chunk_rows(
+                    t.left_seg, t.left_chunk_cc, t.left_chunk_cr,
+                    oh, path_id, p_ref, reach, k_sel,
+                ),
             ).reshape(B, N, C, 9)
             d_right = pseudo_distance_seg(
-                q, side_rows(t.right_seg, t.right_chunk_cc, t.right_chunk_cr)
+                q,
+                topk_chunk_rows(
+                    t.right_seg, t.right_chunk_cc, t.right_chunk_cr,
+                    oh, path_id, p_ref, reach, k_sel,
+                ),
             ).reshape(B, N, C, 9)
         elif cfg.use_windowed_pseudo_distance and idx_left is not None:
             # Windowed flat-gather: slice `pd_window` segments around the

@@ -231,6 +231,40 @@ def pseudo_distance_seg(points: Array, seg: Array) -> Array:
     return jnp.sqrt(jnp.where(ok, d2, _BIG * _BIG).min(axis=-1))
 
 
+def topk_chunk_rows(
+    seg_table: Array,  # [K, S, 8] stacked per-path segment tables
+    chunk_cc: Array,  # [K, NC, 2] chunk bound centers (MapTables)
+    chunk_cr: Array,  # [K, NC] chunk bound radii
+    oh: Array,  # [..., K] path one-hot selector
+    path_id: Array,  # [...] int32
+    p_ref: Array,  # [..., 2] per-row reference point (e.g. agent pos)
+    reach: float,  # static max |query - p_ref| over all queries
+    k: int,
+) -> Array:
+    """Gather the k*PD_CHUNK segment rows of the k chunks with the
+    smallest bounding-circle lower bound |p_ref - cc| - cr - reach.
+
+    The bound is a true lower bound of both the pseudo distance and the
+    clamped perpendicular distance of any query within `reach` of `p_ref`
+    to any segment in the chunk (the projection point lies ON the
+    segment), so a min over the gathered rows is EXACT whenever the true
+    minimum is below every unselected chunk's bound. Returns
+    [..., k*PD_CHUNK, 8]."""
+    from sigmarl_tpu.env.map_tables import lookup
+
+    K, S = seg_table.shape[0], seg_table.shape[1]
+    NC = S // PD_CHUNK
+    ccp = lookup(oh, chunk_cc)  # [..., NC, 2]
+    crp = lookup(oh, chunk_cr)  # [..., NC]
+    lbound = (
+        jnp.linalg.norm(p_ref[..., None, :] - ccp, axis=-1) - crp - reach
+    )
+    _, sel = jax.lax.top_k(-lbound, k)  # [..., k]
+    flat = path_id[..., None] * NC + sel
+    rows = jnp.take(seg_table.reshape(K * NC, PD_CHUNK * 8), flat, axis=0)
+    return rows.reshape(*flat.shape[:-1], k * PD_CHUNK, 8)
+
+
 def window_segment_rows(
     seg_table: Array,  # [K, S, 8] stacked per-path segment tables
     path_id: Array,  # [...] int32

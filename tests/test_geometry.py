@@ -138,3 +138,30 @@ def test_rect_polyline_hit_matches_interx():
         np.testing.assert_array_equal(ref, new)
         total_hits += int(ref.sum())
     assert total_hits > 100  # the comparison actually exercised hits
+
+
+def test_min_distance_to_segment_rows_matches_sweep():
+    """`min_distance_to_segment_rows` (the chunk-pruned corner sweep's
+    segment-row evaluator) must equal `min_perpendicular_distance` on the
+    source polyline when given ALL of its rows — the (start, vec) pairs
+    recovered from the pseudo-distance segment table are the polyline's
+    segments exactly."""
+    from sigmarl_tpu.config import Parameters
+    from sigmarl_tpu.env import make_env
+
+    p = Parameters(
+        scenario_type="cpm_entire", n_agents=2, num_vmas_envs=2, dt=0.1,
+        max_steps=10,
+    )
+    env = make_env(p)
+    t = env.tables
+    import jax
+
+    q = jax.random.uniform(jax.random.PRNGKey(3), (4, 20, 2), minval=0.0, maxval=4.5)
+    for seg, bnd in ((t.left_seg, t.left_boundary), (t.right_seg, t.right_boundary)):
+        for k in (0, 5, 17):
+            ref = G.min_perpendicular_distance(q, bnd[k][None, None])
+            out = G.min_distance_to_segment_rows(q, seg[k][None, None])
+            np.testing.assert_allclose(
+                np.asarray(out).squeeze(), np.asarray(ref).squeeze(), atol=1e-5
+            )
