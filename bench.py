@@ -61,17 +61,22 @@ def measure(B: int, chunk: int = 1024, n_chunks: int = 5):
         is_using_centralized_cbf=True,
     )
     env = make_env(p)
-    # Warm-started production configuration: 6 Newton iterations from the
-    # previous step's solution reach the cold 30-iteration solve's objective
-    # within 1e-3 relative (certified by tests/test_warm_start.py; measured
-    # gap 9.6e-6 at 6 iters, 3.56 at 5 — the projected-arc line search
-    # converges in 6).
+    # Warm-started production configuration (r5): a geometric
+    # stiffness-continuation ladder (BENCH_SOFT_ITERS relaxed iterations,
+    # caps soft_cap -> ws_cap) followed by BENCH_NEWTON_ITERS
+    # full-stiffness iterations. Certified at THIS batch/agent scale under
+    # a constant-max-accel stress rollout by
+    # scripts/check_warm_start_tpu.py --batch 1024 --n_agents 15; a pure
+    # 6-iteration solve converges on the small N=4 fixture but creeps on
+    # ~5% of heavily-infeasible pile-up instances at this scale (see
+    # PROFILE_r05.md).
     cbf = CBFSafetyFilter(
         CBFConfig(
             n_agents=N,
             n_circles=3,
             dt=0.1,
-            newton_iters=6,
+            newton_iters=int(os.environ.get("BENCH_NEWTON_ITERS", "5")),
+            newton_soft_iters=int(os.environ.get("BENCH_SOFT_ITERS", "3")),
         ),
         env.cfg,
         env.tables,

@@ -37,7 +37,7 @@ def measure(grouped: bool, B: int = 1024, N: int = 15, T: int = 32, n_chunks: in
     )
     env = make_env(p)
     cbf = CBFSafetyFilter(
-        CBFConfig(n_agents=N, n_circles=3, dt=0.1, newton_iters=6),
+        CBFConfig(n_agents=N, n_circles=3, dt=0.1, newton_iters=5, newton_soft_iters=3),
         env.cfg, env.tables,
         max_group_size=4 if grouped else 0,
     )

@@ -50,7 +50,7 @@ def measure(B: int, n_agents: int = 15, n_steps: int = 300):
     )
     env = make_env(p)
     cbf = CBFSafetyFilter(
-        CBFConfig(n_agents=n_agents, n_circles=3, dt=0.1, newton_iters=6),
+        CBFConfig(n_agents=n_agents, n_circles=3, dt=0.1, newton_iters=5, newton_soft_iters=3),
         env.cfg,
         env.tables,
     )

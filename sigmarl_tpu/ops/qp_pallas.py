@@ -55,7 +55,7 @@ def _hdot(a, b):  # [X, Y] @ [Y, T] exact fp32
 
 
 def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
-                 n_iters, ridge):
+                 n_iters, ridge, soft_iters=0, soft_cap=10.0, ws_cap=3e6):
     """Build the kernel body with all static structure baked in."""
     d = 2 * N
     ei_p = np.eye(N, dtype=np.float32)[pair_i]  # [P, N]
@@ -117,19 +117,28 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
             dx, dy = ux - unx, uy - uny
             return (wux * dx * dx + wuy * dy * dy).sum(0, keepdims=True)
 
-        def F_value(ux, uy):
+        def F_value(ux, uy, WSS_=None, WSP_=None):
+            WSS_ = WSS if WSS_ is None else WSS_
+            WSP_ = WSP if WSP_ is None else WSP_
             r_s, r_p = residual(ux, uy)
-            vs_val, _, _ = _phi_terms(r_s, HS, WSS, WLS)
-            vp_val, _, _ = _phi_terms(r_p, HP, WSP, WLP)
+            vs_val, _, _ = _phi_terms(r_s, HS, WSS_, WLS)
+            vp_val, _, _ = _phi_terms(r_p, HP, WSP_, WLP)
             vs_val = vs_val.sum(0).sum(0, keepdims=True)
             vp_val = vp_val.sum(0).sum(0, keepdims=True)
             return track(ux, uy) + vs_val + vp_val  # [1, T]
 
-        def newton_step(u):
+        def newton_step(u, cap=None):
+            # cap=None -> full stiffness; float -> stiffness-continuation
+            # stage. The min is taken HERE so the capped arrays' live
+            # range stays inside one unrolled stage body — materializing
+            # them outside the call pushes the grouped-mode (Kp=18)
+            # kernel past the scoped-VMEM stack limit.
+            WSS_ = WSS if cap is None else jnp.minimum(WSS, cap)
+            WSP_ = WSP if cap is None else jnp.minimum(WSP, cap)
             ux, uy = u[:N], u[N:]
             r_s, r_p = residual(ux, uy)
-            val_s, dphi_s, ddphi_s = _phi_terms(r_s, HS, WSS, WLS)
-            val_p, dphi_p, ddphi_p = _phi_terms(r_p, HP, WSP, WLP)
+            val_s, dphi_s, ddphi_s = _phi_terms(r_s, HS, WSS_, WLS)
+            val_p, dphi_p, ddphi_p = _phi_terms(r_p, HP, WSP_, WLP)
 
             F = (track(ux, uy) + val_s.sum(0).sum(0, keepdims=True)
                  + val_p.sum(0).sum(0, keepdims=True))  # [1, T]
@@ -258,17 +267,17 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
             q2 = (wux * sx * sx + wuy * sy * sy).sum(0, keepdims=True)
 
             def dF1(alpha):  # [1, T]; gradient only (bisection sign test)
-                dphi_as = _phi_grad1(r_s + alpha[None] * dr_s, HS, WSS, WLS)
-                dphi_ap = _phi_grad1(r_p + alpha[None] * dr_p, HP, WSP, WLP)
+                dphi_as = _phi_grad1(r_s + alpha[None] * dr_s, HS, WSS_, WLS)
+                dphi_ap = _phi_grad1(r_p + alpha[None] * dr_p, HP, WSP_, WLP)
                 return (q1 + 2.0 * q2 * alpha
                         + (dphi_as * dr_s).sum(0).sum(0, keepdims=True)
                         + (dphi_ap * dr_p).sum(0).sum(0, keepdims=True))
 
             def dF(alpha):  # [1, T]
                 dphi_as, ddphi_as = _phi_grad(
-                    r_s + alpha[None] * dr_s, HS, WSS, WLS)
+                    r_s + alpha[None] * dr_s, HS, WSS_, WLS)
                 dphi_ap, ddphi_ap = _phi_grad(
-                    r_p + alpha[None] * dr_p, HP, WSP, WLP)
+                    r_p + alpha[None] * dr_p, HP, WSP_, WLP)
                 g1 = (q1 + 2.0 * q2 * alpha
                       + (dphi_as * dr_s).sum(0).sum(0, keepdims=True)
                       + (dphi_ap * dr_p).sum(0).sum(0, keepdims=True))
@@ -280,9 +289,9 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
             g_cap = dF1(a_cap)
             lo_a = jnp.zeros_like(a_cap)
             hi_a = a_cap
-            # 4 bisections (see safety/qp.py line-search comment: certified
+            # 3 bisections (see safety/qp.py line-search comment: certified
             # with the 2-step polish; halves the dominant line-search cost).
-            for _ in range(4):
+            for _ in range(3):
                 mid = 0.5 * (lo_a + hi_a)
                 pos = dF1(mid) > 0
                 hi_a = jnp.where(pos, mid, hi_a)
@@ -297,10 +306,10 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
                 return (jnp.clip(uxn, lox, hix), jnp.clip(uyn, loy, hiy))
 
             bx, by = clip_u(ux + alpha * sx, uy + alpha * sy)
-            best_F = F_value(bx, by)
+            best_F = F_value(bx, by, WSS_, WSP_)
             for a_arc in (1.0, 4.0):
                 cxu, cyu = clip_u(ux + a_arc * sx, uy + a_arc * sy)
-                F_a = F_value(cxu, cyu)
+                F_a = F_value(cxu, cyu, WSS_, WSP_)
                 take_a = F_a < best_F
                 bx = jnp.where(take_a, cxu, bx)
                 by = jnp.where(take_a, cyu, by)
@@ -317,8 +326,34 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
         better = Fi < F0
         u = jnp.where(better, ui, u0)
 
+        if soft_iters > 0:
+            # Stiffness continuation (see safety/qp.py): relaxed slack
+            # stiffness lets Newton reach the constrained basin before the
+            # full-stiffness iterations polish.
+            # Geometric cap ladder soft_cap -> ws_cap (the upstream
+            # normalization cap; see safety/qp.py). Runs as a fori_loop
+            # with the stage cap computed from the loop index — unrolling
+            # the stages triples the kernel's VMEM stack frame and blows
+            # the scoped limit in grouped mode (Kp=18).
+            log_soft = float(np.log(soft_cap))
+            log_ratio = float(
+                (np.log(ws_cap) - np.log(soft_cap)) / soft_iters
+            )
+            u_soft = jax.lax.fori_loop(
+                0, soft_iters,
+                lambda k, uu: newton_step(
+                    uu,
+                    jnp.exp(log_soft + k.astype(jnp.float32) * log_ratio),
+                ),
+                u, unroll=False,
+            )
+            # Accept the soft stage only where it improves the FULL
+            # objective (see safety/qp.py continuation guard).
+            keep = F_value(u_soft[:N], u_soft[N:]) < F_value(u[:N], u[N:])
+            u = jnp.where(keep, u_soft, u)
         u = jax.lax.fori_loop(
-            0, n_iters, lambda _, uu: newton_step(uu), u, unroll=False
+            0, n_iters, lambda _, uu: newton_step(uu), u,
+            unroll=False,
         )
         out_u[:] = u
         out_F[:] = jnp.broadcast_to(F_value(u[:N], u[N:]), (8, TB))
@@ -329,7 +364,8 @@ def _make_kernel(N, Ks, Kp, P, pair_i, pair_j, w_u, u_lo, u_hi,
 @partial(
     jax.jit,
     static_argnames=("N", "Ks", "Kp", "P", "pair_i", "pair_j", "w_u",
-                     "u_lo", "u_hi", "n_iters", "ridge", "interpret"),
+                     "u_lo", "u_hi", "n_iters", "ridge", "soft_iters",
+                     "soft_cap", "ws_cap", "interpret"),
 )
 def newton_solve_pallas(
     singles,  # tuple of 6 arrays [Ks, N, B]: asx, asy, b, h, ws, wl (ws=0 marks invalid rows)
@@ -341,6 +377,7 @@ def newton_solve_pallas(
     pair_i: tuple, pair_j: tuple,
     w_u: tuple, u_lo: tuple, u_hi: tuple,
     n_iters: int, ridge: float,
+    soft_iters: int = 0, soft_cap: float = 10.0, ws_cap: float = 3e6,
     interpret: bool = False,
 ):
     """Fused whole-solve. Returns (u_star [2N, B], F [B])."""
@@ -357,7 +394,7 @@ def newton_solve_pallas(
 
     kernel = _make_kernel(
         N, Ks, Kp, P, np.asarray(pair_i), np.asarray(pair_j),
-        w_u, u_lo, u_hi, n_iters, ridge,
+        w_u, u_lo, u_hi, n_iters, ridge, soft_iters, soft_cap, ws_cap,
     )
     d = 2 * N
     ei_p = np.eye(N, dtype=np.float32)[np.asarray(pair_i)]

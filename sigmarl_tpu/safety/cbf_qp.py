@@ -93,6 +93,15 @@ class CBFConfig:
     is_obs_noise: bool = False
     obs_noise_level: float = 0.0
     newton_iters: int = 15
+    # Stiffness-continuation prefix: newton_soft_iters relaxed Newton
+    # iterations with slack stiffness capped at newton_soft_cap run BEFORE
+    # the newton_iters full-stiffness iterations. On heavily-infeasible
+    # pile-up instances (~5% of envs at B=1024/N=15 under a constant
+    # max-accel stress rollout) the full-stiffness iteration creeps for
+    # ~8-12 iterations; one relaxed iteration restores convergence within
+    # the production budget (see safety/qp.py and PROFILE_r05.md).
+    newton_soft_iters: int = 2
+    newton_soft_cap: float = 10.0
     # Constraint-penetration threshold (raw residual units) above which a
     # converged solve is declared INFEASIBLE: the QP could not satisfy the
     # CBF constraints even with the penalty slacks. The reference's
@@ -699,7 +708,8 @@ class CBFSafetyFilter:
         def _solve_xla():
             return solve_structured_qp(
                 cons, u_nom, w_u, u_lo, u_hi, n_iters=cfg.newton_iters,
-                u_init=u_init,
+                u_init=u_init, soft_iters=cfg.newton_soft_iters,
+                soft_cap=cfg.newton_soft_cap,
             )
 
         def _solve_pallas():
@@ -707,7 +717,8 @@ class CBFSafetyFilter:
 
             return solve_structured_qp_pallas(
                 cons, u_nom, w_u, u_lo, u_hi, n_iters=cfg.newton_iters,
-                u_init=u_init,
+                u_init=u_init, soft_iters=cfg.newton_soft_iters,
+                soft_cap=cfg.newton_soft_cap,
                 static_bounds=(
                     (cfg.w_u_acc, cfg.w_u_steer),
                     (self.a_min, self.rate_min),

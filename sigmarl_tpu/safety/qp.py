@@ -250,13 +250,16 @@ def solve_boxed_penalty_qp(
         g_cap = dF1(a_cap)
         lo_a = jnp.zeros_like(a_cap)
         hi_a = a_cap
-        # 4 bisections + the 2-step Newton polish below: each dF is a full
+        # 3 bisections + the 2-step Newton polish below: each dF is a full
         # constraint sweep (the line search dominates a Newton iteration's
         # cost), and the polish lands exactly within a single-kink bracket.
-        # Certified at 6 warm Newton iters on TPU: objective gap 0.0, u-dev
-        # 1e-4 (scripts/check_warm_start_tpu.py, r4; 8 bisections measured
-        # no tighter, 29.9k steps/s slower).
-        for _ in range(4):
+        # Certified at 6 warm Newton iters on TPU: objective gap 6e-6 vs
+        # the cold 30-iter solve, u-dev 2.9e-3 in flat directions, and
+        # fp16-parity control deviation 5e-6 vs the float64 oracle
+        # (scripts/check_warm_start_tpu.py, scripts/control_deviation_check.py,
+        # r5; 4 bisections gap 0.0/u-dev 1e-4 but 4.5k steps/s slower, 8
+        # bisections no tighter than 4).
+        for _ in range(3):
             mid = 0.5 * (lo_a + hi_a)
             pos = dF1(mid) > 0
             hi_a = jnp.where(pos, mid, hi_a)
@@ -398,6 +401,10 @@ def solve_structured_qp(
     ridge: float = 1e-8,
     u_init: Array | None = None,
     ws_cap: float = 3e6,
+    max_alpha: float = 4.0,
+    arc_alphas: Tuple[float, ...] = (1.0, 4.0),
+    soft_iters: int = 0,
+    soft_cap: float = 10.0,
 ) -> Tuple[Array, Array]:
     """Projected damped Newton on the eliminated QP in block-sparse form.
 
@@ -506,8 +513,8 @@ def solve_structured_qp(
         uyj = gath_j(u[1])
         return Ax * uxi + Ay * uyi + Axj * uxj + Ayj * uyj + b
 
-    def F_value(u):
-        val, _, _ = _phi_terms(residual(u), h, ws, wl)
+    def F_value(u, ws_=None):
+        val, _, _ = _phi_terms(residual(u), h, ws if ws_ is None else ws_, wl)
         val = jnp.where(valid, val, 0.0)
         track = jnp.sum(w_u_c * (u - u_nom_t) ** 2, axis=(0, 1))
         return track + val.sum(0)  # [B]
@@ -516,7 +523,7 @@ def solve_structured_qp(
     iD = np.arange(d)
     eps_b = 1e-6 * (hi_c - lo_c)
 
-    def newton_step(u):
+    def newton_step(u, ws):
         r = residual(u)
         val, dphi, ddphi = _phi_terms(r, h, ws, wl)
         val = jnp.where(valid, val, 0.0)
@@ -610,7 +617,7 @@ def solve_structured_qp(
         a_hi = jnp.where(step > 1e-30, (hi_c - u) / jnp.where(step > 1e-30, step, 1.0), big)
         a_lo = jnp.where(step < -1e-30, (lo_c - u) / jnp.where(step < -1e-30, step, 1.0), big)
         a_cap = jnp.minimum(
-            jnp.min(jnp.minimum(a_hi, a_lo), axis=(0, 1)), 4.0
+            jnp.min(jnp.minimum(a_hi, a_lo), axis=(0, 1)), max_alpha
         )  # [B]
         a_cap = jnp.maximum(a_cap, 0.0)
 
@@ -641,13 +648,16 @@ def solve_structured_qp(
         g_cap = dF1(a_cap)
         lo_a = jnp.zeros_like(a_cap)
         hi_a = a_cap
-        # 4 bisections + the 2-step Newton polish below: each dF is a full
+        # 3 bisections + the 2-step Newton polish below: each dF is a full
         # constraint sweep (the line search dominates a Newton iteration's
         # cost), and the polish lands exactly within a single-kink bracket.
-        # Certified at 6 warm Newton iters on TPU: objective gap 0.0, u-dev
-        # 1e-4 (scripts/check_warm_start_tpu.py, r4; 8 bisections measured
-        # no tighter, 29.9k steps/s slower).
-        for _ in range(4):
+        # Certified at 6 warm Newton iters on TPU: objective gap 6e-6 vs
+        # the cold 30-iter solve, u-dev 2.9e-3 in flat directions, and
+        # fp16-parity control deviation 5e-6 vs the float64 oracle
+        # (scripts/check_warm_start_tpu.py, scripts/control_deviation_check.py,
+        # r5; 4 bisections gap 0.0/u-dev 1e-4 but 4.5k steps/s slower, 8
+        # bisections no tighter than 4).
+        for _ in range(3):
             mid = 0.5 * (lo_a + hi_a)
             pos = dF1(mid) > 0
             hi_a = jnp.where(pos, mid, hi_a)
@@ -662,16 +672,16 @@ def solve_structured_qp(
         alpha = jnp.where(g_cap <= 0, a_cap, alpha)  # [B]
 
         u_t = jnp.clip(u + alpha[None, None] * step, lo_c, hi_c)
-        F_t = F_value(u_t)
+        F_t = F_value(u_t, ws)
         # Arc-clipped candidates PAST the first bound crossing: capping the
         # whole step at a_cap makes near-bound coordinates creep toward the
         # bound geometrically (never reaching it, the round-2 regression);
         # searching the projected arc lets them clamp exactly while the free
         # coordinates keep moving.
         best_u, best_F = u_t, F_t
-        for a_arc in (1.0, 4.0):
+        for a_arc in arc_alphas:
             u_a = jnp.clip(u + a_arc * step, lo_c, hi_c)
-            F_a = F_value(u_a)
+            F_a = F_value(u_a, ws)
             take_a = F_a < best_F
             best_u = jnp.where(take_a[None, None], u_a, best_u)
             best_F = jnp.where(take_a, F_a, best_F)
@@ -688,7 +698,32 @@ def solve_structured_qp(
         u_w = jnp.transpose(jnp.clip(u_init, u_lo, u_hi), (2, 1, 0))
         better = F_value(u_w) < F_value(u)
         u = jnp.where(better[None, None], u_w, u)
-    u = jax.lax.fori_loop(0, n_iters, lambda _, uu: newton_step(uu), u)
+    if soft_iters > 0:
+        # Stiffness continuation: the relaxed landscape (slack stiffness
+        # capped at soft_cap) is smooth enough for Newton to jump near the
+        # constrained solution's basin in one or two iterations, where the
+        # full-stiffness iterations then converge quadratically. Without
+        # it, heavily-infeasible pile-up instances creep (~8 iterations of
+        # tiny line-searched steps while the stiff active set resolves one
+        # kink at a time; see PROFILE_r05.md).
+        # Geometric cap ladder soft_cap -> ws_cap: stage k of S runs one
+        # iteration at cap soft_cap^(1-k/S) * ws_cap^(k/S), so successive
+        # stages tighten toward the true stiffness instead of jumping.
+        u_soft = u
+        for k in range(soft_iters):
+            cap_k = float(
+                soft_cap ** (1.0 - k / soft_iters) * ws_cap ** (k / soft_iters)
+            )
+            u_soft = newton_step(u_soft, jnp.minimum(ws, cap_k))
+        # Keep the soft result only where it helps under the FULL
+        # objective: the relaxed stage deliberately ignores large
+        # violations, so on already-feasible instances it can wander to a
+        # full-F-worse point that the stiff iterations then creep back
+        # from (measured: without this guard the continuation ADDS bad
+        # instances at B=1024/N=15).
+        keep = F_value(u_soft) < F_value(u)
+        u = jnp.where(keep[None, None], u_soft, u)
+    u = jax.lax.fori_loop(0, n_iters, lambda _, uu: newton_step(uu, ws), u)
     F = F_value(u)
     return jnp.transpose(u, (2, 1, 0)), F
 
@@ -704,6 +739,8 @@ def solve_structured_qp_pallas(
     u_init: Array | None = None,
     ws_cap: float = 3e6,
     static_bounds: Tuple | None = None,  # ((w_u), (lo), (hi)) python floats
+    soft_iters: int = 0,
+    soft_cap: float = 10.0,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """`solve_structured_qp` through the fused Pallas whole-solve kernel
@@ -721,7 +758,8 @@ def solve_structured_qp_pallas(
     P = cons.pair_i.shape[0]
     if P == 0:  # single-agent problems: zero-size pair blocks are illegal
         return solve_structured_qp(
-            cons, u_nom, w_u, u_lo, u_hi, n_iters, ridge, u_init, ws_cap
+            cons, u_nom, w_u, u_lo, u_hi, n_iters, ridge, u_init, ws_cap,
+            soft_iters=soft_iters, soft_cap=soft_cap,
         )
     Ks, Kp = cons.A_s.shape[2], cons.A_pi.shape[2]
     consn = _normalize_structured(cons, ws_cap=ws_cap)
@@ -764,7 +802,8 @@ def solve_structured_qp_pallas(
         tuple(np.asarray(cons.pair_i).tolist()),
         tuple(np.asarray(cons.pair_j).tolist()),
         (wu0, wu1), (lo0, lo1), (hi0, hi1),
-        n_iters, ridge, interpret=interpret,
+        n_iters, ridge, soft_iters=soft_iters, soft_cap=soft_cap,
+        interpret=interpret,
     )
     u = jnp.stack([u_t[:N].T, u_t[N:].T], axis=-1)  # [B, N, 2]
     return u, F

@@ -81,7 +81,13 @@ def test_qp_newton_kernel_matches_xla():
         up, Fp = solve_structured_qp_pallas(
             cons, u_nom, w_u, lo, hi, n_iters=it, interpret=interpret,
         )
-        np.testing.assert_array_equal(np.asarray(up), np.asarray(ux))
+        # fp32-roundoff tolerance, not exact equality: interpret-mode Pallas
+        # and the XLA path reassociate the line-search reductions differently,
+        # which can shift a handful of controls by a few ulps (observed 4e-6
+        # on 4/64 elements at the r4 HEAD).
+        np.testing.assert_allclose(
+            np.asarray(up), np.asarray(ux), atol=2e-5, rtol=1e-5
+        )
 
     ux, Fx = solve_structured_qp(cons, u_nom, w_u, lo, hi, n_iters=30)
     up, Fp = solve_structured_qp_pallas(
